@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and, once warm, the CDC
+merge-apply replay (the BASELINE.json headline metric). Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "filter_project",
+    "scalar_aggs",
+    "groupby_collect",
+    "join_semi",
+    "distinct_op",
+    "topk_per_group",
+]
+
+
+def main() -> None:
+    from palimpzest_spark.plans.queries import QUERIES
+    from palimpzest_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/parquet footers once so timings measure the plan, not JIT
+    QUERIES["q1_pricing_summary"](spark, SF_DIR).count()
+
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # CDC merge-apply replay throughput (events/sec) — the headline metric
+    try:
+        from palimpzest_spark.cdc.bench import run_cdc_bench
+
+        cdc = run_cdc_bench(spark)
+        timings["cdc_replay"] = round(cdc["elapsed_sec"], 3)
+        headline_metric = "cdc_merge_events_per_sec"
+        headline_value = round(cdc["events_per_sec"], 1)
+    except ImportError:
+        headline_metric = "headline_queries_total"
+        headline_value = round(sum(timings.values()), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": headline_metric,
+                "value": headline_value,
+                "unit": "events/sec" if headline_metric.startswith("cdc") else "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

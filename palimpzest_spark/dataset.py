@@ -1,0 +1,178 @@
+"""Fluent ``Dataset`` API — the user surface of the engine.
+
+Mirrors the reference's ``Dataset`` fluent builder
+(``core/data/dataset.py:36-680``): each call appends a logical operator and
+returns a new lazy node. Here the "logical plan" IS the Spark DataFrame's
+Catalyst plan — no separate DAG/memo/optimizer is built (SURVEY.md §4: the
+reference's Cascades optimizer is replaced wholesale by Catalyst + AQE).
+
+Semantic (LLM) operators — ``sem_map``, ``sem_filter``, ``sem_join``,
+``sem_agg`` — keep the reference's plan *shapes*: inference happens inside an
+Arrow-vectorized UDF column, so the physical variant choice (RAG / split /
+mixture-of-agents, ``SURVEY.md §2.2``) is a choice of UDF pipeline invisible
+to Catalyst. This repo has no LLM access, so the inference callable is
+injected; the default is a deterministic fake (hash-based) that preserves
+shape/determinism for tests, exactly like the reference's mocked generators
+(``tests/pytest`` mock strategy, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from palimpzest_spark import lineage
+from palimpzest_spark.operators import (
+    GroupBySig,
+    distinct_records,
+    embedding_top_k,
+    filter_records,
+    flat_map_records,
+    group_by_agg,
+    limit_records,
+    map_records,
+    project_records,
+    relational_join,
+    scalar_agg,
+    top_k_per_group,
+)
+from palimpzest_spark.operators.convert import map_expr
+
+
+def _default_sem_fn(instruction: str):
+    """Deterministic fake 'LLM': stable hash of (instruction, input text).
+
+    Stands in for the reference's mocked ``Generator.__call__`` so semantic
+    operators are testable offline. Returns a pandas fn usable for both
+    boolean (filter) and string (map) outputs.
+    """
+
+    def fn(batch: pd.DataFrame) -> pd.Series:
+        joined = batch.astype(str).agg("|".join, axis=1)
+        return joined.map(lambda s: hash((instruction, s)))
+
+    return fn
+
+
+class Dataset:
+    """Lazy fluent wrapper over a DataFrame. ``.df`` exposes the plan."""
+
+    def __init__(self, df: DataFrame, sem_fn_factory: Callable | None = None):
+        self.df = df
+        self._sem = sem_fn_factory or _default_sem_fn
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_parquet(cls, spark, path: str, key_cols: list[str] | None = None) -> "Dataset":
+        return cls(lineage.with_source_lineage(spark.read.parquet(path), key_cols))
+
+    @classmethod
+    def from_memory(cls, spark, data, key_cols: list[str] | None = None) -> "Dataset":
+        """MemoryDataset analogue (``iter_dataset.py:152-213``): list[dict] or
+        pandas DataFrame, via the Arrow path."""
+        pdf = data if isinstance(data, pd.DataFrame) else pd.DataFrame(data)
+        return cls(lineage.with_source_lineage(spark.createDataFrame(pdf), key_cols))
+
+    def _wrap(self, df: DataFrame) -> "Dataset":
+        return Dataset(df, self._sem)
+
+    # -- relational surface (dataset.py:246-665) ----------------------------
+
+    def filter(self, predicate, depends_on: list[str] | None = None) -> "Dataset":
+        return self._wrap(filter_records(self.df, predicate, depends_on))
+
+    def map(self, fn_or_exprs, output_fields: T.StructType | None = None,
+            depends_on: list[str] | None = None) -> "Dataset":
+        if isinstance(fn_or_exprs, dict):
+            return self._wrap(map_expr(self.df, fn_or_exprs))
+        return self._wrap(map_records(self.df, fn_or_exprs, output_fields, depends_on))
+
+    def flat_map(self, fn, output_fields: T.StructType,
+                 depends_on: list[str] | None = None) -> "Dataset":
+        return self._wrap(flat_map_records(self.df, fn, output_fields, depends_on))
+
+    def join(self, other: "Dataset", on: list[str], how: str = "inner",
+             broadcast_right: bool = False) -> "Dataset":
+        return self._wrap(relational_join(self.df, other.df, on, how, broadcast_right))
+
+    def project(self, cols: list[str]) -> "Dataset":
+        return self._wrap(project_records(self.df, cols))
+
+    def distinct(self, cols: list[str] | None = None) -> "Dataset":
+        return self._wrap(distinct_records(self.df, cols))
+
+    def limit(self, n: int, order_by: list[Column] | None = None) -> "Dataset":
+        return self._wrap(limit_records(self.df, n, order_by))
+
+    def groupby(self, sig: GroupBySig) -> "Dataset":
+        return self._wrap(group_by_agg(self.df, sig))
+
+    def count(self, col: str, alias: str | None = None) -> "Dataset":
+        return self._wrap(scalar_agg(self.df, "count", col, alias))
+
+    def sum(self, col: str, alias: str | None = None) -> "Dataset":
+        return self._wrap(scalar_agg(self.df, "sum", col, alias))
+
+    def average(self, col: str, alias: str | None = None) -> "Dataset":
+        return self._wrap(scalar_agg(self.df, "average", col, alias))
+
+    def min(self, col: str, alias: str | None = None) -> "Dataset":
+        return self._wrap(scalar_agg(self.df, "min", col, alias))
+
+    def max(self, col: str, alias: str | None = None) -> "Dataset":
+        return self._wrap(scalar_agg(self.df, "max", col, alias))
+
+    def top_k(self, group_cols: list[str], order_by: list[Column], k: int) -> "Dataset":
+        return self._wrap(top_k_per_group(self.df, group_cols, order_by, k))
+
+    # -- semantic surface (plan shapes only; inference fn injected) ---------
+
+    def sem_filter(self, instruction: str) -> "Dataset":
+        """NL predicate (``dataset.py:317-338``) → boolean inference column +
+        filter. Deterministic fake by default."""
+        raw = self._sem(instruction)
+
+        def pred(batch: pd.DataFrame) -> pd.Series:
+            return raw(batch) % 2 == 0
+
+        return self._wrap(filter_records(self.df, pred))
+
+    def sem_map(self, instruction: str, output_field: str = "_sem_out") -> "Dataset":
+        """NL convert (``dataset.py:402-430``) → string inference column."""
+        raw = self._sem(instruction)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({output_field: raw(batch).astype(str)})
+
+        schema = T.StructType([T.StructField(output_field, T.StringType())])
+        return self._wrap(map_records(self.df, fn, schema))
+
+    def sem_join(self, other: "Dataset", condition: str) -> "Dataset":
+        """NL theta-join (``dataset.py:269-290``) → crossJoin + boolean
+        inference UDF + filter (the reference's NestedLoopsJoin shape)."""
+        raw = self._sem(condition)
+        lnames = set(self.df.columns)
+        r = other.df
+        for c in [c for c in r.columns if c in lnames]:
+            r = r.withColumnRenamed(c, c + "_right")
+        crossed = self.df.crossJoin(r)
+
+        def pred(batch: pd.DataFrame) -> pd.Series:
+            return raw(batch) % 2 == 0
+
+        return self._wrap(filter_records(crossed, pred))
+
+    def sem_topk(self, index: "Dataset", vec_col: str, query: list[float], k: int) -> "Dataset":
+        return self._wrap(embedding_top_k(index.df, vec_col, query, k))
+
+    # -- execution -----------------------------------------------------------
+
+    def run(self) -> pd.DataFrame:
+        """Execute and return pandas (``DataRecordCollection.to_df`` analogue).
+        Tests only — production sinks go through ``df.write`` / the CDC merge."""
+        return self.df.toPandas()

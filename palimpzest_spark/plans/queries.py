@@ -1,0 +1,349 @@
+"""Driver-facing query catalog.
+
+One entry per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline ops). Each query is a callable ``(spark, sf_dir) ->
+DataFrame`` built from the engine's operator combinators, and ``ORACLE_SQL``
+carries the equivalent ANSI SQL for the DuckDB oracle. Column names are
+aliased identically on both sides (the driver's compare hashes values after
+sorting columns by name).
+
+Floating-point aggregates are ``round()``-ed on BOTH sides so summation-order
+differences between engines can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from palimpzest_spark.operators import (
+    GroupBySig,
+    distinct_records,
+    group_by_agg,
+    limit_records,
+    project_records,
+    relational_join,
+    top_k_per_group,
+)
+from palimpzest_spark.operators.filter import filter_records
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin UTC so timestamp values hash identically to DuckDB's naive reads
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.1-2.5)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: filter → groupBy → 8 aggs → order (TPC-H Q1 shape).
+
+    Exercises BaseScan (scan.py:14-124), NonLLMFilter (filter.py:125-162)
+    as a pushed-down relational predicate, and ApplyGroupByOp
+    (aggregate.py:33-189) as a Catalyst partial/final hash aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        filter_records(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + global top-k (TPC-H Q3 shape).
+
+    customer (small) is broadcast — no shuffle for the dim side; the
+    orders↔lineitem join shuffles on the key both sides. Global top-10 runs
+    as TakeOrderedAndProject (no full sort).
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, revenue, o_orderpriority FROM (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, o_orderkey ASC
+  LIMIT 10
+) t
+"""
+
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project (project.py:8-53) + pushed-down filter: the scan should read
+    only 3 columns (check ReadSchema) and skip row groups via PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    flt = filter_records(li, (F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
+    return project_records(flt, ["l_orderkey", "l_quantity", "l_discount"])
+
+
+_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_quantity, l_discount
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+"""
+
+
+def scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table Count/Sum/Average/Min/Max (aggregate.py:192-528) in one
+    pass (single partial+final agg, no shuffle of data rows)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("count_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+
+
+_SCALAR_AGGS_SQL = """
+SELECT count(*) AS count_orders,
+       round(sum(o_totalprice), 2) AS sum_total,
+       round(avg(o_totalprice), 4) AS avg_total,
+       round(min(o_totalprice), 2) AS min_total,
+       round(max(o_totalprice), 2) AS max_total
+FROM orders
+"""
+
+
+def groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBySig's ``list``/``set`` agg funcs (groupbysig.py:55-59;
+    aggregate.py:65-122) — collect_set, rendered order-canonical as a sorted
+    joined string so the hash compare is order-insensitive."""
+    orders = _t(spark, sf_dir, "orders")
+    sig = GroupBySig(
+        group_by_fields=["o_orderstatus"],
+        agg_funcs=["count", "set"],
+        agg_fields=["o_orderkey", "o_orderpriority"],
+        aliases=["n_orders", "prio_set_raw"],
+    )
+    out = group_by_agg(orders, sig)
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.array_join(F.sort_array("prio_set_raw"), ",").alias("prio_set"),
+    ).orderBy("o_orderstatus")
+
+
+_GROUPBY_COLLECT_SQL = """
+SELECT o_orderstatus,
+       count(o_orderkey) AS n_orders,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_set
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def join_inner_right_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RelationalJoin with the *_right renaming contract
+    (join.py:179-286; records.py:252-256). nation→region is a broadcast."""
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "rkey")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "rkey")
+    out = relational_join(nation, region, on=["rkey"], how="inner", broadcast_right=True)
+    return out.select("n_nationkey", "n_name", "rkey", "rkey_right", "r_name").orderBy(
+        "n_nationkey"
+    )
+
+
+_JOIN_INNER_SQL = """
+SELECT n_nationkey, n_name, n_regionkey AS rkey, r_regionkey AS rkey_right, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer with null-fill for unmatched rows (records.py:258-261)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    out = relational_join(cust, big, on=["c_custkey"], how="left")
+    return out.select(
+        "c_custkey", "c_name", "c_custkey_right", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+_JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name, b.c_custkey AS c_custkey_right, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM customer LEFT JOIN (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice
+  FROM orders WHERE o_totalprice > 400000
+) b USING (c_custkey)
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) — absent in the reference, free in Spark."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return relational_join(cust, urgent, on=["c_custkey"], how="semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational_join(cust, orders, on=["c_custkey"], how="anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def distinct_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistinctOp (distinct.py:8-62) → dropDuplicates: partial map-side
+    dedup then shuffle only distinct keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_records(li.select("l_returnflag", "l_linestatus")).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def limit_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LimitScan (limit.py:8-55) with a deterministic order →
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return limit_records(
+        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")),
+        100,
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+    )
+
+
+_LIMIT_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational top-k per group = window row_number ≤ k (SURVEY §2.5:
+    subsumes the reference's index-only TopKOp for relational inputs)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+    return out.select(
+        "o_orderpriority", "rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).orderBy("o_orderpriority", "rank")
+
+
+_TOPK_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) t WHERE rank <= 3 ORDER BY o_orderpriority, rank
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "filter_project": filter_project,
+    "scalar_aggs": scalar_aggs,
+    "groupby_collect": groupby_collect,
+    "join_inner_right_rename": join_inner_right_rename,
+    "join_left_outer": join_left_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "distinct_op": distinct_op,
+    "limit_op": limit_op,
+    "topk_per_group": topk_per_group,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_top_revenue_orders": _Q3_SQL,
+    "filter_project": _FILTER_PROJECT_SQL,
+    "scalar_aggs": _SCALAR_AGGS_SQL,
+    "groupby_collect": _GROUPBY_COLLECT_SQL,
+    "join_inner_right_rename": _JOIN_INNER_SQL,
+    "join_left_outer": _JOIN_LEFT_SQL,
+    "join_semi": _JOIN_SEMI_SQL,
+    "join_anti": _JOIN_ANTI_SQL,
+    "distinct_op": _DISTINCT_SQL,
+    "limit_op": _LIMIT_SQL,
+    "topk_per_group": _TOPK_SQL,
+}

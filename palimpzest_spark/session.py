@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution-model choices so every entry
+point (tests, bench, driver contract, CDC runner) gets the same tuned
+session:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- Arrow on (all Python crossings are vectorized batches, never per-row)
+- shuffle partitions sized to cores for local mode (overridable) — on a
+  real 1000-executor cluster this is set to ~2-3x total cores instead
+- UTC session timezone so results compare bit-for-bit with the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "palimpzest_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``. ``shuffle_partitions``
+    defaults to the local core count — at cluster scale callers pass a value
+    proportional to total executor cores.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    ncores = master[master.find("[") + 1 : master.find("]")] if "[" in master else DEFAULT_CPUS
+    if ncores == "*":
+        ncores = str(os.cpu_count() or 8)
+    nshuffle = shuffle_partitions or int(ncores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.default.parallelism", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # deterministic timestamp/parquet behavior
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
