@@ -1,0 +1,97 @@
+"""CDC throughput bench: sustained merge-apply events/sec.
+
+Generates a deterministic feed once per (size, seed) into a cached /tmp dir,
+replays it batch-mode into a fresh lake table, and reports events/sec over
+the merge-apply phase (bootstrap excluded — the metric is change-event
+throughput, BASELINE.json:2). Used by bench.py and by the N-vs-4N scaling
+evidence (``python -m palimpzest_spark.cdc.scaling``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from palimpzest_spark.cdc import feedgen
+from palimpzest_spark.cdc.lake import SnapshotLakeTable
+from palimpzest_spark.cdc.merge import bootstrap
+from palimpzest_spark.cdc.runner import replay_batches
+
+CACHE_ROOT = os.path.join(tempfile.gettempdir(), "pz_spark_cdc_bench")
+
+
+def ensure_fixture(
+    n_events: int = 300_000,
+    n_convs: int = 5_000,
+    max_turns: int = 24,
+    n_files: int = 12,
+    seed: int = 42,
+) -> dict[str, str]:
+    """Generate (or reuse) the bench feed; cache key = the size parameters."""
+    key = f"e{n_events}_c{n_convs}_t{max_turns}_f{n_files}_s{seed}"
+    root = os.path.join(CACHE_ROOT, key)
+    base = os.path.join(root, "base", "conversations.parquet")
+    feed_dir = os.path.join(root, "feed")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        feedgen.gen_base_table(os.path.join(root, "base"), n_convs=n_convs, max_turns=max_turns, seed=seed)
+        feedgen.gen_change_feed(
+            feed_dir,
+            n_events=n_events,
+            n_convs=n_convs,
+            max_turns=max_turns,
+            n_files=n_files,
+            seed=seed,
+        )
+        open(done, "w").close()
+    return {"base": base, "feed_dir": feed_dir}
+
+
+def _replay_fresh(
+    spark: SparkSession, fix: dict[str, str], files_per_batch: int, n_buckets: int
+) -> dict[str, Any]:
+    table_dir = tempfile.mkdtemp(prefix="pz_lake_")
+    try:
+        table = SnapshotLakeTable(table_dir, n_buckets=n_buckets)
+        bootstrap(spark, table, fix["base"])
+        t0 = time.perf_counter()
+        metrics = replay_batches(spark, table, fix["feed_dir"], files_per_batch=files_per_batch)
+        elapsed = time.perf_counter() - t0
+        total = sum(m["events"] for m in metrics)
+        return {
+            "events": total,
+            "batches": len(metrics),
+            "elapsed_sec": elapsed,
+            "events_per_sec": total / elapsed if elapsed else 0.0,
+            "final_rows": table.read(spark).count(),
+        }
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+
+
+def run_cdc_bench(
+    spark: SparkSession,
+    n_events: int = 1_000_000,
+    n_convs: int = 20_000,
+    files_per_batch: int = 4,
+    n_buckets: int = 16,
+    warmup: bool = True,
+    **fixture_kw: Any,
+) -> dict[str, Any]:
+    """Measure sustained merge-apply throughput on a fresh table.
+
+    A small warmup replay first forces JVM JIT + Python-worker startup out of
+    the measurement, so the number reflects sustained (not cold) throughput —
+    the metric BASELINE.json asks for.
+    """
+    if warmup:
+        warm_fix = ensure_fixture(n_events=50_000, n_convs=2_000, n_files=2)
+        _replay_fresh(spark, warm_fix, files_per_batch=2, n_buckets=n_buckets)
+    fix = ensure_fixture(n_events=n_events, n_convs=n_convs, **fixture_kw)
+    return _replay_fresh(spark, fix, files_per_batch, n_buckets)

@@ -1,0 +1,245 @@
+"""Merge-apply: one change-feed microbatch → the lake table (north rule core).
+
+Per batch:
+
+1. **Idempotence gate** — the snapshot summary records the last committed
+   batch id; a replayed batch (checkpoint recovery) is skipped outright, so
+   at-least-once delivery from the stream becomes exactly-once in the table.
+2. **Arrow schema reconciliation** (``reconcile.py``) — exact, distributed
+   inference of the batch's payload schema, widened against the table schema
+   (new columns, int32→int64, …). The table schema only ever grows/widens.
+3. **Vectorized decode + normalize** — ``from_json`` with the reconciled
+   schema (JVM-side) + the pandas/Arrow text-normalization UDF. No per-row
+   Python anywhere.
+4. **In-batch LWW dedup** — ``groupBy(conv_id, turn_idx).agg(max_by(row,
+   (ts, event_seq)))``. Deliberately an *aggregate*, not a window
+   ``row_number``: Catalyst's hash aggregate does map-side partial combine,
+   so a hot conv_id collapses to ≤ one row per mapper before the shuffle —
+   the window formulation would ship every hot-key row to a single
+   partition. This is the skew-immune formulation of LWW.
+5. **Version-guarded MERGE** — union with the affected buckets' current
+   rows and take the LWW max again; a row only changes if the incoming
+   version ``(ts, event_seq)`` is newer, so replays converge (idempotent
+   MERGE). Deletes are kept as tombstones so an out-of-order update arriving
+   in a *later* batch can never resurrect a deleted row. With an Iceberg
+   catalog on the classpath this step becomes ``MERGE INTO ... WHEN MATCHED
+   AND (s.ts, s.event_seq) > (t.ts, t.event_seq) THEN UPDATE ...``; the
+   surrounding pipeline is identical.
+6. **Salted write repartition** — the rewrite shuffles on ``(_bucket,
+   salt)`` rather than ``_bucket`` alone: a hot conv_id concentrates a
+   bucket, and one-task-per-bucket would serialize it. Salting fans each
+   bucket across ``write_salt`` tasks (files per bucket simply multiply —
+   the snapshot tracks lists).
+7. **Lineage + metrics** — per-source-partition event counts and max
+   offsets, recorded in the snapshot summary and returned to the caller.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+_DEBUG = os.environ.get("PZ_CDC_DEBUG", "") == "1"
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from palimpzest_spark.cdc.lake import META_COLS, SnapshotLakeTable
+from palimpzest_spark.cdc.reconcile import (
+    align_to,
+    infer_payload_schema,
+    reconcile_public_schema,
+)
+from palimpzest_spark.cdc.transform import normalize_text_udf
+
+KEY_COLS = ("conv_id", "turn_idx")
+
+
+def _public_schema(table: SnapshotLakeTable) -> T.StructType | None:
+    full = table.schema()
+    if full is None:
+        return None
+    return T.StructType([f for f in full.fields if f.name not in META_COLS])
+
+
+def _full_schema(public: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(public.fields)
+        + [
+            T.StructField("_bucket", T.IntegerType(), False),
+            T.StructField("_ts", T.TimestampType(), True),
+            T.StructField("_event_seq", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), False),
+        ]
+    )
+
+
+def _lww(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Last-writer-wins reduce per key via max_by (map-side combinable)."""
+    return (
+        df.groupBy(*KEY_COLS)
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in cols if c not in KEY_COLS]),
+                F.struct(F.col("_ts"), F.col("_event_seq")),
+            ).alias("_r")
+        )
+        .select(*KEY_COLS, "_r.*")
+    )
+
+
+def bootstrap(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    base_parquet: str,
+) -> dict[str, Any]:
+    """Load the base conversations table as snapshot v1 (version seq=-1,
+    so every feed event outranks base rows at equal ts)."""
+    base = spark.read.parquet(base_parquet)
+    public = T.StructType([T.StructField(f.name, f.dataType, True) for f in base.schema.fields])
+    full = _full_schema(public)
+    df = (
+        base.withColumn("_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int"))
+        .withColumn("_ts", F.col("ts"))
+        .withColumn("_event_seq", F.lit(-1).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    n = df.count()
+    table.write_buckets(
+        align_to(df, full).repartition(table.n_buckets, "_bucket"),
+        list(range(table.n_buckets)),
+        full.jsonValue(),
+        {"last_batch_id": -1, "offsets": {}, "rows_bootstrapped": n},
+    )
+    return {"rows": n}
+
+
+def merge_batch(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    write_salt: int = 4,
+) -> dict[str, Any]:
+    """Apply one microbatch. Returns metrics (also folded into the snapshot)."""
+    t0 = time.perf_counter()
+    if batch_id <= table.last_batch_id():
+        return {"batch_id": batch_id, "skipped": True, "events": 0, "elapsed_sec": 0.0}
+
+    # cache: the batch feeds schema inference, lineage agg, and the merge
+    batch = batch.persist()
+
+    # (7a) one small job yields lineage, event count AND affected buckets:
+    # groupBy source partition, counting events, max offset, and the set of
+    # hash buckets this partition's keys land in.
+    bucket_expr = F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int")
+    lineage_rows = (
+        batch.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.max("offset").alias("max_offset"),
+            F.collect_set(bucket_expr).alias("buckets"),
+        )
+        .collect()
+    )
+    n_events = sum(r["events"] for r in lineage_rows)
+    if n_events == 0:
+        batch.unpersist()
+        return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
+    affected = sorted({b for r in lineage_rows for b in r["buckets"]})
+    if _DEBUG:
+        print(f"[merge {batch_id}] lineage+buckets {time.perf_counter() - t0:.1f}s")
+
+    # (2) reconcile schemas
+    payload_schema = infer_payload_schema(batch)
+    if _DEBUG:
+        print(f"[merge {batch_id}] infer {time.perf_counter() - t0:.1f}s")
+    table_public = _public_schema(table)
+    public = reconcile_public_schema(table_public, payload_schema)
+    full = _full_schema(public)
+
+    # (3) vectorized decode: JVM-side from_json with the reconciled schema;
+    # envelope is authoritative for the key (delete rows carry no payload)
+    decoded = batch
+    if payload_schema is not None:
+        decoded = decoded.withColumn("_p", F.from_json("payload", payload_schema))
+    value_cols = []
+    turn_t = next(f.dataType for f in public.fields if f.name == "turn_idx")
+    for f in public.fields:
+        if f.name == "conv_id":
+            value_cols.append(F.col("conv_id").cast("string").alias("conv_id"))
+        elif f.name == "turn_idx":
+            value_cols.append(F.col("turn_idx").cast(turn_t).alias("turn_idx"))
+        elif payload_schema is not None and f.name in payload_schema.fieldNames():
+            col = F.col(f"_p.{f.name}").cast(f.dataType)
+            if f.name == "text":
+                col = normalize_text_udf(col)  # pandas/Arrow UDF, never per-row
+            value_cols.append(col.alias(f.name))
+        else:
+            value_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    upserts = decoded.select(
+        *value_cols,
+        F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_bucket"),
+        F.col("ts").alias("_ts"),
+        F.col("event_seq").alias("_event_seq"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+
+    # (4)+(5) LWW dedup fused with the version-guarded merge: one max_by
+    # aggregate over (existing ∪ batch) both dedups the batch AND applies the
+    # version guard — a single shuffle where window-row_number + join would
+    # take three. (A real Iceberg MERGE INTO sink needs the separate in-batch
+    # ``_lww(upserts, ...)`` pass first, since MERGE requires one source row
+    # per key; our lake merge IS the LWW aggregate, so it's fused.)
+    existing = table.read_buckets(spark, affected)
+    if existing is not None:
+        merged_in = align_to(existing, full).unionByName(align_to(upserts, full))
+        final = _lww(merged_in, [f.name for f in full.fields])
+    else:
+        final = _lww(align_to(upserts, full), [f.name for f in full.fields])
+
+    # (7b) fold lineage into the snapshot summary
+    lineage = {
+        str(r["partition"]): {"events": r["events"], "max_offset": r["max_offset"]}
+        for r in lineage_rows
+    }
+    prev = table.snapshot()["summary"]
+    offsets = dict(prev.get("offsets", {}))
+    for p, info in lineage.items():
+        offsets[p] = max(int(offsets.get(p, -1)), int(info["max_offset"]))
+
+    # (6) salted write: repartition on (_bucket, salt) so a hot bucket fans
+    # across up to ``write_salt`` tasks instead of serializing in one. No
+    # explicit partition count — AQE coalesces the shuffle to its advisory
+    # size, so tiny batches get few write tasks and huge ones get many.
+    salted = final.withColumn(
+        "_salt", F.pmod(F.xxhash64(*KEY_COLS), F.lit(write_salt)).cast("int")
+    )
+    if _DEBUG:
+        print(f"[merge {batch_id}] plan-built {time.perf_counter() - t0:.1f}s")
+    table.write_buckets(
+        salted.repartition("_bucket", "_salt").drop("_salt"),
+        affected,
+        full.jsonValue(),
+        {
+            "last_batch_id": batch_id,
+            "offsets": offsets,
+            "batch_lineage": lineage,
+            "batch_events": n_events,
+        },
+    )
+    batch.unpersist()
+    elapsed = time.perf_counter() - t0
+    if _DEBUG:
+        print(f"[merge {batch_id}] write+commit done {elapsed:.1f}s ({n_events} ev)")
+    return {
+        "batch_id": batch_id,
+        "skipped": False,
+        "events": n_events,
+        "affected_buckets": len(affected),
+        "lineage": lineage,
+        "elapsed_sec": elapsed,
+        "events_per_sec": n_events / elapsed if elapsed > 0 else 0.0,
+    }

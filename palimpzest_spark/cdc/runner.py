@@ -1,0 +1,152 @@
+"""Replay drivers: batch-mode (bench) and Structured Streaming (resumable).
+
+Streaming path (the production shape): ``readStream`` over the feed directory
+→ ``foreachBatch(merge_batch)`` with a checkpoint location. Exactly-once =
+source offsets in the streaming checkpoint + the batch-id idempotence gate in
+the snapshot commit (``merge.py`` step 1) — a batch replayed after a kill is
+skipped, which is the standard foreachBatch idempotent-sink contract.
+
+Batch path: the same merge_batch applied to explicit file groups — used by
+the throughput bench (no streaming scheduler overhead in the measurement).
+
+Also exposes a ``spark-submit`` CLI:
+
+    spark-submit --py-files palimpzest_spark.zip -m ... cdc/runner.py \
+        --feed DIR --table DIR [--stream --checkpoint DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from palimpzest_spark.cdc.lake import SnapshotLakeTable
+from palimpzest_spark.cdc.merge import bootstrap, merge_batch
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_seq", T.LongType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+
+def _metrics_path(table: SnapshotLakeTable) -> str:
+    return os.path.join(table.root, "metrics.jsonl")
+
+
+def _emit(table: SnapshotLakeTable, m: dict[str, Any]) -> None:
+    with open(_metrics_path(table), "a") as f:
+        f.write(json.dumps(m) + "\n")
+
+
+def replay_batches(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    feed_dir: str,
+    files_per_batch: int = 4,
+    start_batch_id: int = 0,
+    max_batches: int | None = None,
+) -> list[dict[str, Any]]:
+    """Batch-mode replay: feed files grouped in order → merge_batch each."""
+    files = sorted(glob.glob(os.path.join(feed_dir, "feed-*.parquet")))
+    groups = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
+    out = []
+    for i, group in enumerate(groups):
+        if max_batches is not None and i >= max_batches:
+            break
+        batch = spark.read.schema(FEED_SCHEMA).parquet(*group)
+        m = merge_batch(spark, table, batch, batch_id=start_batch_id + i)
+        _emit(table, m)
+        out.append(m)
+    return out
+
+
+def replay_stream(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    feed_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    max_batches: int | None = None,
+) -> list[dict[str, Any]]:
+    """Structured Streaming replay with checkpoint resume.
+
+    ``max_batches`` stops the query after N microbatches (the kill/resume
+    test); a later call with the same checkpoint continues from the next
+    unprocessed file and converges to the same final state.
+    """
+    metrics: list[dict[str, Any]] = []
+    reader = spark.readStream.schema(FEED_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
+
+    def apply(batch_df, batch_id: int) -> None:
+        m = merge_batch(spark, table, batch_df, batch_id)
+        _emit(table, m)
+        metrics.append(m)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        while q.isActive:
+            if max_batches is not None and len(metrics) >= max_batches:
+                q.stop()  # simulated kill mid-stream
+                break
+            time.sleep(0.2)
+        q.awaitTermination(600)
+    finally:
+        if q.isActive:
+            q.stop()
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="CDC replay: change feed -> lake table")
+    ap.add_argument("--feed", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--base", help="base conversations parquet to bootstrap from")
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--files-per-batch", type=int, default=4)
+    args = ap.parse_args()
+
+    from palimpzest_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc_replay")
+    table = SnapshotLakeTable(args.table, n_buckets=args.buckets)
+    if args.base and table.current_version() == 0:
+        bootstrap(spark, table, args.base)
+    if args.stream:
+        if not args.checkpoint:
+            ap.error("--stream requires --checkpoint")
+        ms = replay_stream(spark, table, args.feed, args.checkpoint)
+    else:
+        ms = replay_batches(spark, table, args.feed, args.files_per_batch)
+    total = sum(m["events"] for m in ms)
+    secs = sum(m["elapsed_sec"] for m in ms)
+    print(json.dumps({"batches": len(ms), "events": total, "elapsed_sec": round(secs, 3),
+                      "events_per_sec": round(total / secs, 1) if secs else None}))
+
+
+if __name__ == "__main__":
+    main()

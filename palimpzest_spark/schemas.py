@@ -49,7 +49,12 @@ _WIDEN_ORDER = {
 
 def widen(a: T.DataType, b: T.DataType) -> T.DataType:
     """Least common supertype of two field types (the ``relax_schema``
-    permissiveness made explicit): numeric ladder, else string fallback."""
+    permissiveness made explicit): numeric ladder, else string fallback.
+    ``NullType`` (all-null inference sample) is the identity element."""
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
     if a == b:
         return a
     if a in _WIDEN_ORDER and b in _WIDEN_ORDER:

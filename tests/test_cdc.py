@@ -1,0 +1,183 @@
+"""CDC engine correctness gates (BASELINE.json:6,15).
+
+- final table state == pandas event-log fold of the feed over the base table,
+  with per-turn text equality under stable (conv_id, turn_idx) ordering;
+- schema evolution mid-feed (new tool_args column, turn_idx widening) is
+  reconciled without restart;
+- duplicated events / replayed batches are no-ops (exactly-once);
+- a killed streaming job resumed from checkpoint reaches the identical state.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pandas as pd
+import pytest
+
+from palimpzest_spark.cdc import feedgen
+from palimpzest_spark.cdc.lake import SnapshotLakeTable
+from palimpzest_spark.cdc.merge import bootstrap, merge_batch
+from palimpzest_spark.cdc.oracle import fold
+from palimpzest_spark.cdc.runner import FEED_SCHEMA, replay_batches, replay_stream
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdc")
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=60, max_turns=8, seed=42)
+    feed_paths = feedgen.gen_change_feed(
+        str(d / "feed"), n_events=5000, n_convs=60, max_turns=8, n_files=10, seed=42
+    )
+    return {"dir": d, "base": base, "feed_dir": str(d / "feed"), "feed_paths": feed_paths}
+
+
+def _expected(fix) -> pd.DataFrame:
+    base = pd.read_parquet(fix["base"])
+    feed = pd.concat([pd.read_parquet(p) for p in fix["feed_paths"]], ignore_index=True)
+    return fold(base, feed)
+
+
+def _actual(spark, table: SnapshotLakeTable) -> pd.DataFrame:
+    out = table.read(spark).toPandas()
+    return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+
+def _assert_state_equal(actual: pd.DataFrame, expected: pd.DataFrame):
+    assert len(actual) == len(expected), f"row count {len(actual)} != {len(expected)}"
+    a_keys = list(zip(actual["conv_id"], actual["turn_idx"].astype("int64")))
+    e_keys = list(zip(expected["conv_id"], expected["turn_idx"].astype("int64")))
+    assert a_keys == e_keys, "key sets / ordering differ"
+    # the north-rule invariant: per-turn text equality under stable ordering
+    a_text = actual["text"].where(actual["text"].notna(), None).tolist()
+    e_text = expected["text"].where(expected["text"].notna(), None).tolist()
+    assert a_text == e_text, "per-turn text mismatch"
+    for col in ("role", "tool"):
+        a = actual[col].where(actual[col].notna(), None).tolist()
+        e = expected[col].where(expected[col].notna(), None).tolist()
+        assert a == e, f"column {col} mismatch"
+
+
+def test_batch_replay_matches_fold(spark, fixture_dirs, tmp_path):
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=8)
+    bootstrap(spark, table, fixture_dirs["base"])
+    metrics = replay_batches(spark, table, fixture_dirs["feed_dir"], files_per_batch=3)
+    assert sum(m["events"] for m in metrics) > 0
+    _assert_state_equal(_actual(spark, table), _expected(fixture_dirs))
+
+
+def test_schema_evolution_applied(spark, fixture_dirs, tmp_path):
+    """The evolved feed adds tool_args and widens turn_idx to int64 —
+    both must land in the final table schema and values."""
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=8)
+    bootstrap(spark, table, fixture_dirs["base"])
+    replay_batches(spark, table, fixture_dirs["feed_dir"], files_per_batch=3)
+    actual = _actual(spark, table)
+    expected = _expected(fixture_dirs)
+    assert "tool_args" in actual.columns
+    assert actual["turn_idx"].max() >= 2**31  # widened beyond int32
+    a = actual["tool_args"].where(actual["tool_args"].notna(), None).tolist()
+    e = (
+        expected["tool_args"].where(expected["tool_args"].notna(), None).tolist()
+        if "tool_args" in expected.columns
+        else [None] * len(expected)
+    )
+    assert a == e
+
+
+def test_replayed_batch_is_noop(spark, fixture_dirs, tmp_path):
+    """Exactly-once: re-applying an already-committed batch changes nothing."""
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=8)
+    bootstrap(spark, table, fixture_dirs["base"])
+    replay_batches(spark, table, fixture_dirs["feed_dir"], files_per_batch=3)
+    v_before = table.current_version()
+    state_before = _actual(spark, table)
+
+    first = spark.read.schema(FEED_SCHEMA).parquet(fixture_dirs["feed_paths"][0])
+    m = merge_batch(spark, table, first, batch_id=0)  # stale batch id
+    assert m["skipped"] is True
+    assert table.current_version() == v_before
+    pd.testing.assert_frame_equal(_actual(spark, table), state_before)
+
+
+def test_out_of_order_lww(spark, tmp_path):
+    """An older-versioned update arriving in a LATER batch must not win —
+    including against a delete (no resurrection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import json as _json
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=2, max_turns=2, seed=42)
+
+    def ev(op, conv, turn, text, ts_s, seq, part=0, off=0):
+        payload = None if op == "D" else _json.dumps(
+            {"conv_id": conv, "turn_idx": turn, "role": "user", "text": text, "tool": None}
+        )
+        return (op, conv, turn, payload, ts_s, seq, part, off)
+
+    rows = [
+        ev("U", "conv-00000000", 0, "newest", 2_000_000, 10, 0, 0),
+        ev("D", "conv-00000001", 0, "", 2_000_100, 11, 0, 1),
+    ]
+    late = [
+        ev("U", "conv-00000000", 0, "stale", 1_999_999, 5, 0, 2),  # older → loses
+        ev("U", "conv-00000001", 0, "zombie", 2_000_050, 6, 0, 3),  # older than D
+    ]
+
+    def write(path, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "op": pa.array(cols[0], pa.string()),
+                    "conv_id": pa.array(cols[1], pa.string()),
+                    "turn_idx": pa.array(cols[2], pa.int64()),
+                    "payload": pa.array(cols[3], pa.string()),
+                    "ts": pa.array(
+                        [feedgen.BASE_EPOCH + t for t in cols[4]], pa.timestamp("s")
+                    ).cast(pa.timestamp("us")),
+                    "event_seq": pa.array(cols[5], pa.int64()),
+                    "partition": pa.array(cols[6], pa.int32()),
+                    "offset": pa.array(cols[7], pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    feed = d / "feed"
+    feed.mkdir()
+    write(str(feed / "feed-00000.parquet"), rows)
+    write(str(feed / "feed-00001.parquet"), late)
+
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=4)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, str(feed), files_per_batch=1)
+
+    final = _actual(spark, table)
+    row0 = final[(final.conv_id == "conv-00000000") & (final.turn_idx == 0)]
+    assert row0["text"].tolist() == ["newest"], "older update must not overwrite newer"
+    row1 = final[(final.conv_id == "conv-00000001") & (final.turn_idx == 0)]
+    assert len(row1) == 0, "older update must not resurrect a deleted row"
+
+
+def test_kill_and_resume_stream(spark, fixture_dirs, tmp_path):
+    """Kill the streaming query after 2 microbatches; resume from checkpoint;
+    final state must equal the full fold."""
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=8)
+    bootstrap(spark, table, fixture_dirs["base"])
+    ckpt = str(tmp_path / "ckpt")
+
+    first = replay_stream(
+        spark, table, fixture_dirs["feed_dir"], ckpt, max_files_per_trigger=2, max_batches=2
+    )
+    assert len(first) >= 2
+    n_files = len(glob.glob(fixture_dirs["feed_dir"] + "/feed-*.parquet"))
+    assert sum(m["events"] for m in first) < n_files * 600  # genuinely partial
+
+    resumed = replay_stream(
+        spark, table, fixture_dirs["feed_dir"], ckpt, max_files_per_trigger=2
+    )
+    assert resumed, "resume processed nothing"
+    _assert_state_equal(_actual(spark, table), _expected(fixture_dirs))
