@@ -6,7 +6,11 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All real logic lives in ``palimpzest_spark/``; this module only adapts it to
-the driver's calling convention.
+the driver's calling convention. Queries without an ``oracle_sql`` entry are
+genuinely non-SQL-expressible (LSH bucket layouts, CDC replay, stubbed
+multimodal decode) and get the driver's rows-only check; their full
+correctness gates live in tests/ (pandas-fold oracle, planted-duplicate
+corpora, determinism checks).
 """
 
 from __future__ import annotations
@@ -31,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 + the
+    training-data pipeline ops (dedup / similarity / text / CDC / multimodal)."""
     return dict(QUERIES)
 
 

@@ -91,7 +91,10 @@ def run_cdc_bench(
     the metric BASELINE.json asks for.
     """
     if warmup:
-        warm_fix = ensure_fixture(n_events=50_000, n_convs=2_000, n_files=2)
+        # large enough that the JVM's C2 tier fully compiles the hot paths
+        # (shuffle write, sort-agg, parquet encode) before measurement — a
+        # 50k warmup left the first measured batch ~2x slower than steady state
+        warm_fix = ensure_fixture(n_events=500_000, n_convs=10_000, n_files=4)
         _replay_fresh(spark, warm_fix, files_per_batch=2, n_buckets=n_buckets)
     fix = ensure_fixture(n_events=n_events, n_convs=n_convs, **fixture_kw)
     return _replay_fresh(spark, fix, files_per_batch, n_buckets)

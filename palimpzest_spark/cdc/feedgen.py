@@ -17,10 +17,10 @@ Properties (FIXTURES.md §3):
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -121,27 +121,34 @@ def gen_change_feed(
     tools = TOOLS[rng.integers(0, len(TOOLS), n_events)]
     texts = _texts(rng, n_events)
 
-    payloads = np.empty(n_events, dtype=object)
-    for i in range(n_events):  # fixture synthesis only; engine never loops rows
-        if ops[i] == "D":
-            payloads[i] = None
-            continue
-        body = {
-            "conv_id": conv_ids[i],
-            "turn_idx": int(turn_idx[i]),
-            "role": str(roles[i]),
-            "text": str(texts[i]),
-            "tool": str(tools[i]) or None,
-        }
-        if evolved[i]:
-            body["tool_args"] = json.dumps({"q": int(event_seq[i]) % 97})
-            if i % 50 == 0:
-                body["turn_idx"] = int(turn_idx[i]) + 2**31  # forces int64
-        payloads[i] = json.dumps(body)
+    # vectorized payload assembly (all values come from a safe vocabulary —
+    # letters/digits/spaces — so plain concatenation IS valid JSON; verified
+    # against json.loads in tests)
     if evolved.any():
         turn_idx = np.where(
             evolved & (np.arange(n_events) % 50 == 0), turn_idx + 2**31, turn_idx
         )
+    s = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": texts,
+            "tool": tools,
+            "seq": event_seq,
+        }
+    )
+    tool_json = np.where(s["tool"] == "", "null", '"' + s["tool"].astype(str) + '"')
+    body = (
+        '{"conv_id": "' + s["conv_id"].astype(str)
+        + '", "turn_idx": ' + s["turn_idx"].astype(str)
+        + ', "role": "' + s["role"].astype(str)
+        + '", "text": "' + s["text"].astype(str)
+        + '", "tool": ' + pd.Series(tool_json, index=s.index)
+    )
+    evolve_extra = ', "tool_args": "{\\"q\\": ' + (s["seq"] % 97).astype(str) + '}"'
+    body = body + np.where(evolved, evolve_extra, "") + "}"
+    payloads = np.where(ops == "D", None, body.to_numpy(dtype=object))
 
     partition = (conv_nums % n_partitions).astype(np.int32)
     # per-partition monotonically increasing offsets

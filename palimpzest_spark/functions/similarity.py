@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers for three scales:
+- ``embedding_top_k`` (operators/topk.py): exact brute-force cosine, one scan
+  + TakeOrderedAndProject. The baseline; at 100 TB it's one pass, no shuffle.
+- ``knn_join``: exact k-NN of a (small, broadcast) query set against the
+  corpus — per-corpus-row similarity to every query (JVM-side), explode,
+  window top-k per query. No cross-shuffle: the corpus never moves.
+- ``lsh_top_k`` / ``lsh_knn_join``: random-hyperplane LSH — bucket corpus
+  rows by sign pattern (one cheap scan), probe only matching/multi-probe
+  buckets. The scale path: candidate set shrinks by ~2^bits.
+
+Hyperplanes are seeded (42) and generated driver-side, shipped as literal
+arrays — deterministic everywhere, nothing to persist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from palimpzest_spark.operators.topk import cosine_similarity_col, embedding_top_k  # noqa: F401
+
+
+def _norm(vec_col: str) -> Column:
+    return F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact k-NN for a small query set: for each query id, the top-k corpus
+    rows by cosine. Queries are inlined as a literal array-of-structs and
+    exploded against each corpus row — corpus stays put, one window top-k."""
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.array(*[F.lit(float(x)) for x in q]).alias("qvec"),
+            )
+            for qid, q in queries
+        ]
+    )
+    exploded = corpus.select(id_col, vec_col).withColumn(
+        "_q", F.explode(qarr)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_q.qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(
+        F.aggregate(F.col("_q.qvec"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    sim = dot / (_norm(vec_col) * qn)
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc(id_col))
+    return (
+        exploded.select(F.col("_q.query_id").alias("query_id"), id_col, sim.alias("similarity"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit i = (vec . plane_i) > 0. Pure JVM fold —
+    no UDF, so bucketing survives whole-stage codegen."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    bits: int = 8,
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    ``multiprobe_hamming`` bit flips (recall knob), exact cosine inside.
+
+    At scale the bucket column is precomputed/partitioned-on at write time,
+    so a probe prunes to (hamming+1 choose flips) partitions of the corpus.
+    """
+    dim = len(query)
+    planes = hyperplanes(dim, bits, seed)
+    qsigns = (planes @ np.asarray(query)) > 0
+    qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
+    probes = {qbucket}
+    if multiprobe_hamming >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(bits)}
+    if multiprobe_hamming >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        }
+    bucketed = corpus.withColumn("_bkt", lsh_bucket_col(vec_col, planes))
+    cand = bucketed.filter(F.col("_bkt").isin(sorted(probes)))
+    return (
+        cand.withColumn("similarity", cosine_similarity_col(vec_col, query))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+        .drop("_bkt")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, blocked by multi-table LSH.
+
+    A single sign-pattern table has no recall guarantee — a high-cosine pair
+    is split whenever ANY hyperplane lands between the two vectors. Standard
+    OR-construction instead: ``n_tables`` independent tables (different seed
+    each); a pair is a candidate if it shares a bucket in ANY table
+    (miss probability ≈ (1-(1-θ/π)^bits)^n_tables). Exact cosine verification
+    on candidates. Shuffle volume: O(rows·n_tables) ids+buckets, never vectors.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    bucketed = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tables = F.array(
+        *[lsh_bucket_col("v", hyperplanes(dim, bits, seed + t)) for t in range(n_tables)]
+    )
+    exploded = bucketed.select(
+        "id", F.posexplode(tables).alias("tbl", "bkt")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    sim = dot / (_norm_of(F.col("va")) * _norm_of(F.col("vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("similarity", sim)
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )
+
+
+def _norm_of(col: Column) -> Column:
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def hyperplanes_from(corpus: DataFrame, vec_col: str, bits: int, seed: int) -> np.ndarray:
+    dim = len(corpus.select(vec_col).first()[0])
+    return hyperplanes(dim, bits, seed)

@@ -335,6 +335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "q1_pricing_summary": _Q1_SQL,
+    # (extended entries merged below)
     "q3_top_revenue_orders": _Q3_SQL,
     "filter_project": _FILTER_PROJECT_SQL,
     "scalar_aggs": _SCALAR_AGGS_SQL,
@@ -347,3 +348,10 @@ ORACLE_SQL: dict[str, str] = {
     "limit_op": _LIMIT_SQL,
     "topk_per_group": _TOPK_SQL,
 }
+
+# merge the extended catalog (window/set/OLAP ops, text analysis, dedup,
+# similarity, CDC, multimodal) — imported last to avoid a cycle
+from palimpzest_spark.plans.queries_ext import EXT_ORACLE, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+ORACLE_SQL.update(EXT_ORACLE)

@@ -1,0 +1,458 @@
+"""Extended query catalog: window/set/OLAP ops the reference lacks (free in
+Spark — SURVEY.md §2.5/2.6 'missing' rows) plus the training-data pipeline
+ops (text analysis, dedup, similarity, CDC, multimodal) as first-class
+queries. Merged into the driver contract by ``plans.queries``."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from palimpzest_spark.functions import dedup, multimodal, similarity
+from palimpzest_spark.functions import text as X
+from palimpzest_spark.operators.convert import flat_map_records, map_records
+from palimpzest_spark.plans.queries import _t
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXT_ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        EXT_QUERIES[name] = fn
+        if oracle is not None:
+            EXT_ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+_ROUND4 = "floor(({x}) * cast(10000 as double) + cast(0.5 as double)) / cast(10000 as double)"
+
+
+def _r4(col: str) -> F.Column:
+    return F.expr(_ROUND4.format(x=col))
+
+
+# ---------------------------------------------------------------------------
+# converts: expression map, pandas-UDF map, flat_map fan-out
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "map_expr_revenue",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       {r} AS revenue
+FROM lineitem WHERE l_quantity >= 49
+""".format(r=_ROUND4.format(x="l_extendedprice * (1 - l_discount)")),
+)
+def map_expr_revenue(spark, sf_dir):
+    """NonLLMConvert fast path (convert.py:198-259): pure column expression,
+    stays in WholeStageCodegen."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r4("l_extendedprice * (1 - l_discount)").alias("revenue"),
+    )
+
+
+@_q(
+    "map_pandas_udf",
+    oracle="""
+SELECT o_orderkey, upper(o_orderpriority) AS prio_upper,
+       length(o_orderpriority) AS prio_len
+FROM orders WHERE o_totalprice > 300000
+""",
+)
+def map_pandas_udf(spark, sf_dir):
+    """NonLLMConvert slow path: opaque map as an Arrow-vectorized pandas UDF
+    (the reference's per-record UDF, batched — convert.py:224-259)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["o_orderpriority"].astype(str)
+        return pd.DataFrame({"prio_upper": p.str.upper(), "prio_len": p.str.len().astype("int32")})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("prio_upper", T.StringType()),
+            T.StructField("prio_len", T.IntegerType()),
+        ]
+    )
+    out = map_records(orders, fn, out_schema, depends_on=["o_orderpriority"])
+    return out.select("o_orderkey", "prio_upper", "prio_len")
+
+
+@_q(
+    "flat_map_words",
+    oracle="""
+SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+FROM documents WHERE n_chars < 200
+""",
+)
+def flat_map_words(spark, sf_dir):
+    """One-to-many convert (fan-out, convert.py:59-88): pandas UDF emits
+    list<struct>, posexplode supplies _cardinality_idx (dropped here — the
+    DuckDB oracle's unnest has no ordinality)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
+
+    def fn(batch: pd.DataFrame) -> pd.Series:
+        return batch["text"].map(
+            lambda t: [{"word": w} for w in str(t).strip().split(" ")]
+        )
+
+    out_schema = T.StructType([T.StructField("word", T.StringType())])
+    out = flat_map_records(docs, fn, out_schema, depends_on=["text"])
+    return out.select("doc_id", "word")
+
+
+# ---------------------------------------------------------------------------
+# set ops / OLAP extensions (absent in reference, free in Spark)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "set_ops_except_intersect",
+    oracle="""
+WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000),
+     urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'both' AS tag, k FROM (SELECT k FROM big INTERSECT SELECT k FROM urgent) t
+UNION ALL
+SELECT 'big_only' AS tag, k FROM (SELECT k FROM big EXCEPT SELECT k FROM urgent) t
+""",
+)
+def set_ops_except_intersect(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 250000).select(F.col("o_custkey").alias("k"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    both = big.intersect(urgent).select(F.lit("both").alias("tag"), "k")
+    # SQL EXCEPT is set semantics: a key in both sides is excluded entirely.
+    # (exceptAll would be bag subtraction — survivors when big has more copies.)
+    only = big.subtract(urgent).select(F.lit("big_only").alias("tag"), "k")
+    return both.unionAll(only)
+
+
+@_q(
+    "rollup_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       {s} AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".format(s=_ROUND4.format(x="sum(l_quantity)")),
+)
+def rollup_pricing(spark, sf_dir):
+    """Rollup (grouping-sets family — 'missing' in reference, SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _r4("sum(l_quantity)").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "window_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       {r} AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events WHERE user_id < 50
+""".format(
+        r=_ROUND4.format(
+            x="sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    ),
+)
+def window_running_sum(spark, sf_dir):
+    """Analytic window functions (absent in reference — SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(run * 10000.0 + 0.5) / 10000.0).alias("running_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@_q(
+    "events_tumbling_hour",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, {v} AS sum_value
+FROM events GROUP BY 1, 2
+""".format(v=_ROUND4.format(x="sum(value)")),
+)
+def events_tumbling_hour(spark, sf_dir):
+    """Tumbling time window as date_trunc groupBy — identical semantics to
+    the streaming window() agg, expressed for the batch oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), _r4("sum(value)").alias("sum_value"))
+
+
+@_q(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+""",
+)
+def events_json_extract(spark, sf_dir):
+    """JSON path extraction (scalar function library — absent in reference)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+@_q(
+    "sessionization",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 30
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+""",
+)
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative sum — the batch twin of
+    streaming session_window)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; Spark 4 forbids NTZ→bigint directly, so
+    # hop through LTZ (session tz is UTC, so epoch math matches the oracle)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (functions/text.py — single-source templates, both dialects)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id, {X.token_count_sql('text', 'duckdb')} AS n_tokens,
+       {X.word_count_sql('text', 'duckdb')} AS n_words
+FROM documents
+""",
+)
+def text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.token_count("text").alias("n_tokens"), X.word_count("text").alias("n_words")
+    )
+
+
+@_q(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       {X.quality_part_sql('stopword_ratio', 'text', 'duckdb')} AS stopword_ratio,
+       {X.quality_part_sql('avg_word_len', 'text', 'duckdb')} AS avg_word_len,
+       {X.quality_score_sql('text', 'duckdb')} AS quality_score
+FROM documents
+""",
+)
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(X.quality_part_sql("stopword_ratio", "text", "spark")).alias("stopword_ratio"),
+        F.expr(X.quality_part_sql("avg_word_len", "text", "spark")).alias("avg_word_len"),
+        F.expr(X.quality_score_sql("text", "spark")).alias("quality_score"),
+    )
+
+
+@_q(
+    "text_lang_id",
+    oracle=f"""
+SELECT {X.lang_id_sql('text', 'duckdb')} AS lang_pred, count(*) AS n
+FROM documents GROUP BY 1
+""",
+)
+def text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(X.lang_id("text").alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup + similarity
+# ---------------------------------------------------------------------------
+
+
+_NORM_DUCK = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+
+
+@_q(
+    "dedup_exact_docs",
+    oracle=f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY {_NORM_DUCK}
+)
+""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+            range(1, greatest(len(string_split(trim(text), ' ')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+         )) AS grams,
+         floor(length(text) / 16) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor((cast(len(list_intersect(a.grams, b.grams)) as double)
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))))
+             * cast(10000 as double) + cast(0.5 as double)) / cast(10000 as double) AS jaccard
+FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.6, n=3)
+
+
+@_q("dedup_minhash_docs")  # rows-only: signature hashing is engine-internal
+def dedup_minhash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@_q("dedup_simhash_docs")  # rows-only
+def dedup_simhash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@_q(
+    "ann_cosine_topk",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       floor(list_cosine_similarity(embedding, (SELECT qv FROM q))
+             * cast(1000 as double) + cast(0.5 as double)) / cast(1000 as double) AS sim
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-10 neighbours of vec 0 (brute-force baseline —
+    TakeOrderedAndProject, one scan, no shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.embedding_top_k(emb, "embedding", list(query), k=10)
+    return out.select(
+        "vec_id", "label", (F.floor(F.col("similarity") * 1000.0 + 0.5) / 1000.0).alias("sim")
+    )
+
+
+@_q("ann_lsh_topk")  # rows-only: bucket layout is engine-internal
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.lsh_top_k(emb, list(query), k=10, bits=8, multiprobe_hamming=2)
+    return out.select("vec_id", "label")
+
+
+@_q("embedding_neardup")  # rows-only (LSH blocking engine-internal)
+def embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.9, bits=6).select(
+        "id_a", "id_b"
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# CDC + multimodal (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@_q("cdc_replay_final_state")  # rows-only: driver checks row count + schema
+def cdc_replay_final_state(spark, sf_dir):
+    """End-to-end CDC replay (deterministic 5k-event feed, seed 42) → final
+    table state. The pandas-fold equality gate lives in tests/test_cdc.py."""
+    import tempfile
+
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = tempfile.mkdtemp(prefix="pz_cdc_q_")
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=60, max_turns=8, seed=42)
+    feedgen.gen_change_feed(f"{d}/feed", n_events=5000, n_convs=60, max_turns=8, n_files=4, seed=42)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=2)
+    return table.read(spark).orderBy("conv_id", "turn_idx")
+
+
+@_q("multimodal_features")  # rows-only: decoder is a deterministic stub
+def multimodal_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").limit(64)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("png").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(assets, dim=8)
+    return feats.select(
+        "asset_id", F.round(F.element_at("features", 1), 4).alias("f0")
+    ).orderBy("asset_id")

@@ -1,0 +1,188 @@
+"""Tests for the training-data pipeline ops: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from palimpzest_spark.functions import dedup, multimodal, similarity
+from palimpzest_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Planted corpus: exact dups, near dups, and distinct docs."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # 1-word edit → high jaccard
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, "  " + base + "  "),        # whitespace-normalized dup of 0
+        (3, near),                      # near dup of 0
+        (4, "completely different content about spark streaming merge engines"),
+        (5, "unrelated short text"),
+        (6, base),                      # another exact dup
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).toPandas().sort_values("doc_id")
+    # 0,1,2,6 collapse to 0; 3,4,5 survive
+    assert out["doc_id"].tolist() == [0, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (0, 6) in got and (1, 6) in got  # exact dups
+    assert (0, 3) in got  # near dup
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (0, 6) in got
+    assert (0, 3) in got  # near dup caught by banding
+    assert not any(4 in p or 5 in p for p in got)
+    # exact dups have identical signatures
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert (exact["est_jaccard"] == 1.0).all()
+
+
+def test_minhash_deterministic_across_runs(spark, docs):
+    s1 = dedup.minhash_signatures(docs).toPandas().set_index("id")["signature"]
+    s2 = dedup.minhash_signatures(docs).toPandas().set_index("id")["signature"]
+    for i in s1.index:
+        assert list(s1[i]) == list(s2[i])
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=6).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (0, 6) in got  # identical → hamming 0
+    assert (0, 3) in got  # one-word edit → small hamming
+    assert (0, 4) not in got and (0, 5) not in got
+
+
+def test_embedding_neardup_and_lsh_topk(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    vecs = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, ((base + 0.01 * rng.standard_normal(16)) / 1.0).tolist()),  # near dup
+        (2, rng.standard_normal(16).tolist()),
+        (3, rng.standard_normal(16).tolist()),
+    ]
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+    pairs = similarity.embedding_neardup_pairs(df, threshold=0.95, bits=4).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got
+    assert (2, 3) not in got
+
+    # LSH top-k recovers the exact brute-force top-k on this corpus
+    q = vecs[0][1]
+    exact = similarity.embedding_top_k(df, "embedding", q, k=2).toPandas()
+    approx = similarity.lsh_top_k(df, q, k=2, bits=4, multiprobe_hamming=2).toPandas()
+    assert exact["vec_id"].tolist() == approx["vec_id"].tolist() == [0, 1]
+
+
+def test_knn_join(spark):
+    rng = np.random.default_rng(11)
+    corpus = pd.DataFrame(
+        {"vec_id": range(20), "embedding": [rng.standard_normal(8).tolist() for _ in range(20)]}
+    )
+    df = spark.createDataFrame(corpus)
+    queries = [(100, corpus.embedding[5]), (101, corpus.embedding[7])]
+    out = similarity.knn_join(df, queries, k=3).toPandas()
+    top1 = out[out["rank"] == 1].set_index("query_id")["vec_id"]
+    assert top1[100] == 5 and top1[101] == 7  # self is nearest
+    assert (out.groupby("query_id").size() == 3).all()
+
+
+def test_text_ops_match_duckdb(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    df = spark.read.parquet(sf)
+    got = (
+        df.select(
+            "doc_id",
+            X.token_count("text").alias("tok"),
+            X.lang_id("text").alias("lang_pred"),
+            F.expr(X.quality_score_sql("text", "spark")).alias("q"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    want = con.execute(
+        f"""SELECT doc_id, {X.token_count_sql('text', 'duckdb')} AS tok,
+            {X.lang_id_sql('text', 'duckdb')} AS lang_pred,
+            {X.quality_score_sql('text', 'duckdb')} AS q
+            FROM documents ORDER BY doc_id"""
+    ).fetchdf()
+    assert (got["tok"].values == want["tok"].values).all()
+    assert (got["lang_pred"].values == want["lang_pred"].values).all()
+    assert (got["q"].values == want["q"].values).all()
+
+
+def test_fingerprint_groups_exact_dups(spark, docs):
+    out = docs.withColumn("fp", X.fingerprint("text")).toPandas()
+    fp = out.set_index("doc_id")["fp"]
+    assert fp[0] == fp[1] == fp[2] == fp[6]
+    assert fp[0] != fp[3] and fp[0] != fp[4]
+
+
+def test_multimodal_plumbing(spark):
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "modality": ["image", "image", "video"],
+            "content": [b"\x89PNG fake bytes 1", b"\x89PNG fake bytes 2", b"RIFF fake"],
+            "mime": ["png", "png", "avi"],
+            "width": [None, None, None],
+            "height": [None, None, None],
+            "duration_ms": pd.array([None, None, 4000], dtype="Int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
+    feats = multimodal.extract_features(df, dim=8).toPandas()
+    assert feats["features"].map(len).eq(8).all()
+    # deterministic: same bytes → same features
+    again = multimodal.extract_features(df, dim=8).toPandas()
+    assert feats.set_index("asset_id")["features"].map(tuple).equals(
+        again.set_index("asset_id")["features"].map(tuple)
+    )
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(df, decode="real")
+
+    frames = multimodal.sample_frames(df, every_ms=1000).toPandas()
+    assert (frames[frames.asset_id == 3]["frame_idx"].max()) == 3  # 4000ms/1000
+    assert set(frames.columns) == {"asset_id", "frame_idx", "frame_ts_ms", "frame_bytes"}
+
+
+def test_feedgen_payloads_are_valid_json():
+    """The vectorized payload assembly must produce byte-valid JSON."""
+    import glob
+    import json
+    import tempfile
+
+    from palimpzest_spark.cdc import feedgen
+
+    with tempfile.TemporaryDirectory() as d:
+        feedgen.gen_change_feed(d, n_events=2000, n_convs=50, n_files=2)
+        dfs = pd.concat([pd.read_parquet(p) for p in glob.glob(d + "/*.parquet")])
+    n_parsed = 0
+    for p in dfs["payload"]:
+        if p is not None:
+            body = json.loads(p)  # raises on malformed JSON
+            assert {"conv_id", "turn_idx", "role", "text", "tool"} <= set(body)
+            n_parsed += 1
+    assert n_parsed > 0
