@@ -134,27 +134,52 @@ def merge_batch(
     # serializing two half-idle stages (measured ~2x lower per-batch fixed
     # cost). The big merge job then scans the parquet source directly; no
     # persist — caching the raw batch costs more than the extra columnar scan.
+    # grouped by (partition, bucket) — NOT partition alone: a per-partition
+    # collect_set(bucket) funnels the whole batch through one final-agg task
+    # (measured: a serial 3-4s). 128 tiny groups keep the combine map-side
+    # and the final exchange trivial.
     bucket_expr = F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int")
     lineage_q = (
-        batch.groupBy("partition")
-        .agg(
-            F.count(F.lit(1)).alias("events"),
-            F.max("offset").alias("max_offset"),
-            F.collect_set(bucket_expr).alias("buckets"),
-        )
+        batch.groupBy("partition", bucket_expr.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("events"), F.max("offset").alias("max_offset"))
     )
     from concurrent.futures import ThreadPoolExecutor
 
+    # schema resolution is two-tier: a JVM codegen probe proves the batch
+    # fits the table's current schema (steady state — no Python pass at all);
+    # only a failing probe (new column / widening / type drift / first batch)
+    # pays the exact Arrow inference. Both tiers are exact, never sampled.
+    table_public_pre = _public_schema(table)
+
+    def _resolve_schema() -> T.StructType | None:
+        from palimpzest_spark.cdc.reconcile import schema_fits_probe
+
+        if table_public_pre is not None and schema_fits_probe(batch, table_public_pre):
+            return T.StructType([T.StructField(f.name, f.dataType, True) for f in table_public_pre.fields])
+        return infer_payload_schema(batch)
+
     with ThreadPoolExecutor(2) as pool:
         lineage_fut = pool.submit(lineage_q.collect)
-        schema_fut = pool.submit(infer_payload_schema, batch)
-        lineage_rows = lineage_fut.result()
+        schema_fut = pool.submit(_resolve_schema)
+        lineage_cells = lineage_fut.result()
         payload_schema = schema_fut.result()
 
+    # driver-side fold of the 128-cell grid into per-source-partition lineage
+    per_part: dict[int, dict[str, int]] = {}
+    buckets_seen: set[int] = set()
+    for r in lineage_cells:
+        p = per_part.setdefault(r["partition"], {"events": 0, "max_offset": -1})
+        p["events"] += r["events"]
+        p["max_offset"] = max(p["max_offset"], r["max_offset"])
+        buckets_seen.add(r["_b"])
+    lineage_rows = [
+        {"partition": k, "events": v["events"], "max_offset": v["max_offset"]}
+        for k, v in per_part.items()
+    ]
     n_events = sum(r["events"] for r in lineage_rows)
     if n_events == 0:
         return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
-    affected = sorted({b for r in lineage_rows for b in r["buckets"]})
+    affected = sorted(buckets_seen)
     if _DEBUG:
         print(f"[merge {batch_id}] lineage+infer (concurrent) {time.perf_counter() - t0:.1f}s")
 
@@ -212,17 +237,19 @@ def merge_batch(
     for p, info in lineage.items():
         offsets[p] = max(int(offsets.get(p, -1)), int(info["max_offset"]))
 
-    # (6) salted write: repartition on (_bucket, salt) so a hot bucket fans
-    # across up to ``write_salt`` tasks instead of serializing in one. No
-    # explicit partition count — AQE coalesces the shuffle to its advisory
-    # size, so tiny batches get few write tasks and huge ones get many.
-    salted = final.withColumn(
-        "_salt", F.pmod(F.xxhash64(*KEY_COLS), F.lit(write_salt)).cast("int")
-    )
+    # (6) skew-immune write: AQE REBALANCE on _bucket. Unlike a fixed-width
+    # hash repartition (lumpy: few distinct buckets hashed into many
+    # partitions) or manual salting (fixed fan-out even for cold buckets),
+    # REBALANCE sizes write tasks to the advisory partition size — a hot
+    # bucket is SPLIT across tasks (optimizeSkewsInRebalancePartitions,
+    # default on) and a tiny batch coalesces to a few tasks. Write width
+    # therefore tracks data volume and the parquet encode saturates all
+    # cores at any batch size. (``write_salt`` retained for API compat; the
+    # skew fan-out is adaptive now.)
     if _DEBUG:
         print(f"[merge {batch_id}] plan-built {time.perf_counter() - t0:.1f}s")
     table.write_buckets(
-        salted.repartition("_bucket", "_salt").drop("_salt"),
+        final.hint("rebalance", "_bucket"),
         affected,
         full.jsonValue(),
         {

@@ -70,7 +70,10 @@ def _infer_ndjson(payloads) -> T.StructType | None:
     if not vals:
         return None
     buf = io.BytesIO(("\n".join(vals)).encode("utf-8"))
-    tbl = pa_json.read_json(buf)
+    # use_threads=False: a Spark task owns ONE core; letting Arrow's internal
+    # pool fan out would oversubscribe the executor (and silently borrow
+    # cores that don't belong to this task's scheduling slot)
+    tbl = pa_json.read_json(buf, read_options=pa_json.ReadOptions(use_threads=False))
     return arrow_schema_to_struct(tbl.schema)
 
 
@@ -141,3 +144,42 @@ def align_to(df: DataFrame, target: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def schema_fits_probe(
+    batch: DataFrame, table_public: T.StructType | None, payload_col: str = "payload"
+) -> bool:
+    """JVM-side exactness probe: True iff every payload row provably fits the
+    table's current public schema — (a) every key-set ⊆ known fields, and
+    (b) every value for a non-string field survives ``try_cast`` to its
+    current type.
+
+    Why: Arrow inference (``infer_payload_schema``) is exact but costs a full
+    Python-side parse of every payload — pure overhead in steady state, when
+    schemas change rarely. This probe is one whole-stage-codegen scan (JSON
+    key extraction + try_cast, no Python, map-side aggregated to ONE row);
+    when it passes, the merge decodes straight with the known schema and the
+    Arrow pass is skipped. Any anomaly (new column, widening, type drift)
+    fails the probe and the batch pays the exact inference — so evolution
+    batches are handled identically, just not for free. Detection is exact,
+    not sampled: a single anomalous row in 10^8 fails the probe.
+    """
+    if table_public is None:
+        return False
+    known = {f.name: f.dataType for f in table_public.fields}
+    nonnull = batch.filter(F.col(payload_col).isNotNull())
+    known_arr = F.array(*[F.lit(k) for k in sorted(known)])
+    unknown_keys = F.size(
+        F.array_except(F.json_object_keys(F.col(payload_col)), known_arr)
+    )
+    checks = [F.sum((unknown_keys > 0).cast("long")).alias("_newcols")]
+    for name, dt in known.items():
+        if isinstance(dt, (T.StringType, T.NullType)):
+            continue
+        raw = F.get_json_object(F.col(payload_col), f"$.{name}")
+        bad = raw.isNotNull() & F.expr(
+            f"try_cast(get_json_object({payload_col}, '$.{name}') AS {dt.simpleString()})"
+        ).isNull()
+        checks.append(F.sum(bad.cast("long")).alias(f"_bad_{name}"))
+    row = nonnull.agg(*checks).collect()[0]
+    return all((v or 0) == 0 for v in row)

@@ -66,3 +66,89 @@ def relational_join(
     if spark_how in ("left_semi", "left_anti"):
         return joined
     return joined
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    right_suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the latest
+    ``right_ts`` ≤ ``left_ts`` (``backward``; ``forward`` = earliest ≥),
+    matching on equality keys ``on``.
+
+    Absent in both the reference (SURVEY §2.3 "missing join types") and core
+    Spark. Implemented as union + window rather than a range join: tag both
+    sides, union on the key columns, sort each key group by time, and carry
+    the most recent right row forward with ``last(..., ignorenulls=True)``.
+    ONE shuffle of (keys, ts, right-payload) — a range-condition join would
+    be a cross-product-per-key (O(n·m)); this is O((n+m) log (n+m)) and
+    skew-splittable by AQE like any window sort.
+    """
+    from pyspark.sql import Window
+
+    lcols = set(left.columns)
+    rrenames = {c: c + right_suffix for c in right.columns if c in lcols and c not in on}
+    r = right
+    for old, new in rrenames.items():
+        r = r.withColumnRenamed(old, new)
+    rts = rrenames.get(right_ts, right_ts)
+
+    rpayload = [c for c in r.columns if c not in on]
+    # left_ts travels as _t and is re-aliased on output — including it in the
+    # payload too would select `ts` twice (ambiguous reference)
+    lpayload = [c for c in left.columns if c not in on and c != left_ts]
+
+    # right payload travels as ONE struct so the carried values always come
+    # from the same right row (per-column last(ignorenulls) would stitch
+    # together different rows when a right column is legitimately null)
+    rstruct_t = F.struct(*[F.col(c) for c in rpayload])
+    lt = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lpayload],
+        F.lit(None).cast(
+            r.select(rstruct_t.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+    )
+    rt = r.select(
+        *on,
+        F.col(rts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpayload],
+        rstruct_t.alias("_r"),
+    )
+    unioned = lt.unionByName(rt)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal _t so an exact-ts match
+        # is visible to the left row (ties: ts_right == ts_left matches)
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.asc("_t"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.desc("_t"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    carried = unioned.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .select(
+            *on,
+            F.col("_t").alias(left_ts),
+            *[F.col(c) for c in lpayload],
+            *[F.col(f"_r.{c}").alias(c) for c in rpayload],
+        )
+    )

@@ -1,0 +1,281 @@
+"""Alternative physical strategies for semantic converts/filters.
+
+The reference implements one *logical* op (``ConvertScan``/``FilteredScan``)
+with several *physical* inference strategies the optimizer chooses among:
+
+- RAG      (``query/operators/rag.py:18-228``): chunk long text, retrieve the
+           most relevant chunks, run the model on the reduced context.
+- Split    (``query/operators/split.py:20-168``): split text into chunks, run
+           a proposer per chunk, then a merger over the proposals.
+- Mixture-of-Agents (``mixture_of_agents.py:16-248``): N proposer calls at
+           different temperatures + one aggregator call.
+- Critique-and-Refine (``critique_and_refine.py:18-214``): base → critic →
+           refine chain.
+
+Spark-first re-expression: each strategy is a *plan shape* — chunking,
+retrieval and fan-out/fan-in are pure DataFrame ops (JVM-side, codegen);
+only the model calls cross to Python, as Arrow-vectorized pandas UDFs.
+The model itself is pluggable (``infer_fn``: pandas Series of prompts →
+pandas Series of outputs). This container has no LLM, so the default
+``infer_fn`` is a deterministic stub — the distributed plumbing (chunk
+explode, top-k retrieval, groupBy fan-in, chained UDFs) is real and tested;
+swapping in a real batch-inference client changes one function.
+
+All strategies compute the SAME logical result surface as ``map_records``
+(a new output column), so the optimizer's strategy choice is invisible to
+downstream operators — mirroring the reference's rule-based physical
+planning (``optimizer/rules.py:660-843``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+InferFn = Callable[[pd.Series], pd.Series]
+
+
+def default_infer_fn(tag: str) -> InferFn:
+    """Deterministic stand-in for a batch LLM call: stable digest of the
+    prompt, prefixed by the strategy tag (so tests can see which path ran)."""
+
+    def fn(prompts: pd.Series) -> pd.Series:
+        import zlib
+
+        return prompts.fillna("").map(
+            lambda p: f"{tag}:{zlib.crc32(p.encode()):08x}:{len(p)}"
+        )
+
+    return fn
+
+
+def _infer_udf(infer_fn: InferFn) -> Callable[..., Column]:
+    @F.pandas_udf(T.StringType())
+    def udf(prompts: pd.Series) -> pd.Series:
+        return infer_fn(prompts).astype("string")
+
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# chunking (shared, pure JVM — rag.py:80-136's chunker re-expressed)
+# ---------------------------------------------------------------------------
+
+
+def chunk_text(col: str | Column, chunk_size: int) -> Column:
+    """array<string> of fixed-size character chunks — JVM expression only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chunks = F.greatest(F.ceil(F.length(c) / F.lit(chunk_size)).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substring(c, i * chunk_size + 1, chunk_size),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG convert (rag.py:18-228)
+# ---------------------------------------------------------------------------
+
+
+def rag_convert(
+    df: DataFrame,
+    instruction: str,
+    text_col: str = "text",
+    output_field: str = "_sem_out",
+    chunk_size: int = 1024,
+    num_chunks: int = 2,
+    infer_fn: InferFn | None = None,
+) -> DataFrame:
+    """Chunk → retrieve top-``num_chunks`` by relevance → infer on reduced
+    context.
+
+    Retrieval relevance is word overlap between the instruction and each
+    chunk (``array_intersect`` on token arrays — pure JVM; the reference
+    embeds with a model, which plugs in here as an embedding UDF + cosine
+    without changing the plan shape). The whole retrieval is per-row
+    array algebra: no shuffle, no explode — at 100 TB this is a single
+    map stage.
+    """
+    infer = _infer_udf(infer_fn or default_infer_fn("rag"))
+    instr_toks = F.array_distinct(F.split(F.lit(instruction.lower()), r"\s+"))
+    chunks = chunk_text(text_col, chunk_size)
+    scored = F.transform(
+        chunks,
+        lambda ch: F.struct(
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split(F.lower(ch), r"\s+")), instr_toks
+                )
+            ).alias("score"),
+            ch.alias("chunk"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, num_chunks)
+    context = F.array_join(F.transform(top, lambda s: s["chunk"]), "\n---\n")
+    prompt = F.concat(F.lit(instruction + "\n\n"), context)
+    return df.withColumn(output_field, infer(prompt))
+
+
+# ---------------------------------------------------------------------------
+# Split convert (split.py:20-168)
+# ---------------------------------------------------------------------------
+
+
+def split_convert(
+    df: DataFrame,
+    instruction: str,
+    key_cols: list[str],
+    text_col: str = "text",
+    output_field: str = "_sem_out",
+    num_chunks: int = 4,
+    min_size_to_chunk: int = 1024,
+    infer_fn: InferFn | None = None,
+    merge_fn: InferFn | None = None,
+) -> DataFrame:
+    """Explode into ``num_chunks`` → per-chunk proposer → groupBy(key)
+    collect_list(ordered) → merger.
+
+    The map-side fan-out/agg fan-in is the partial/final pattern: proposals
+    shuffle as (key, idx, short proposal) — never the original text.
+    Short inputs (< ``min_size_to_chunk``) skip chunking entirely
+    (``split.py:80-136``'s gate), keeping the explode factor honest.
+    """
+    proposer = _infer_udf(infer_fn or default_infer_fn("split-prop"))
+    merger = _infer_udf(merge_fn or default_infer_fn("split-merge"))
+
+    size = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    chunk_len = F.greatest(F.ceil(size / num_chunks).cast("int"), F.lit(1))
+    n = F.when(size < min_size_to_chunk, F.lit(1)).otherwise(F.lit(num_chunks))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.substring(F.col(text_col), i * chunk_len + 1, chunk_len),
+    )
+
+    exploded = df.select(*key_cols, F.posexplode(chunks).alias("_chunk_idx", "_chunk"))
+    prompts = F.concat(F.lit(instruction + "\n\n"), F.col("_chunk"))
+    proposals = exploded.withColumn("_proposal", proposer(prompts))
+    merged = (
+        proposals.groupBy(*key_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_chunk_idx", "_proposal"))
+                    ),
+                    lambda s: s["_proposal"],
+                ),
+                "\n",
+            ).alias("_joined")
+        )
+        .select(*key_cols, merger(F.col("_joined")).alias(output_field))
+    )
+    return df.join(merged, key_cols, "inner")
+
+
+# ---------------------------------------------------------------------------
+# Mixture of Agents (mixture_of_agents.py:16-248)
+# ---------------------------------------------------------------------------
+
+
+def mixture_of_agents_convert(
+    df: DataFrame,
+    instruction: str,
+    text_col: str = "text",
+    output_field: str = "_sem_out",
+    n_proposers: int = 3,
+    proposer_fns: list[InferFn] | None = None,
+    aggregator_fn: InferFn | None = None,
+) -> DataFrame:
+    """N proposer columns (computed in ONE pass — Catalyst evaluates sibling
+    UDF columns in the same stage, so this is not N scans) + aggregator."""
+    if proposer_fns is None:
+        proposer_fns = [default_infer_fn(f"moa-p{i}") for i in range(n_proposers)]
+    agg = _infer_udf(aggregator_fn or default_infer_fn("moa-agg"))
+    prompt = F.concat(F.lit(instruction + "\n\n"), F.coalesce(F.col(text_col), F.lit("")))
+    out = df
+    pcols = []
+    for i, fn in enumerate(proposer_fns):
+        udf = _infer_udf(fn)
+        out = out.withColumn(f"_moa_{i}", udf(prompt))
+        pcols.append(f"_moa_{i}")
+    combined = F.concat_ws("\n###\n", *[F.col(c) for c in pcols])
+    return out.withColumn(output_field, agg(combined)).drop(*pcols)
+
+
+# ---------------------------------------------------------------------------
+# Critique and refine (critique_and_refine.py:18-214)
+# ---------------------------------------------------------------------------
+
+
+def critique_and_refine_convert(
+    df: DataFrame,
+    instruction: str,
+    text_col: str = "text",
+    output_field: str = "_sem_out",
+    base_fn: InferFn | None = None,
+    critic_fn: InferFn | None = None,
+    refine_fn: InferFn | None = None,
+) -> DataFrame:
+    """base → critic → refine, three chained vectorized UDF columns in one
+    map stage (no shuffle anywhere)."""
+    base = _infer_udf(base_fn or default_infer_fn("cr-base"))
+    critic = _infer_udf(critic_fn or default_infer_fn("cr-critic"))
+    refine = _infer_udf(refine_fn or default_infer_fn("cr-refine"))
+    prompt = F.concat(F.lit(instruction + "\n\n"), F.coalesce(F.col(text_col), F.lit("")))
+    out = df.withColumn("_cr_base", base(prompt))
+    out = out.withColumn("_cr_crit", critic(F.concat(prompt, F.lit("\n"), F.col("_cr_base"))))
+    out = out.withColumn(
+        output_field,
+        refine(
+            F.concat(prompt, F.lit("\n"), F.col("_cr_base"), F.lit("\n"), F.col("_cr_crit"))
+        ),
+    ).drop("_cr_base", "_cr_crit")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic aggregate (aggregate.py:531-667)
+# ---------------------------------------------------------------------------
+
+
+def sem_aggregate(
+    df: DataFrame,
+    instruction: str,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    output_field: str = "_sem_agg",
+    order_col: str | None = None,
+    infer_fn: InferFn | None = None,
+) -> DataFrame:
+    """LLM-style whole-group summarization: collect the group's texts
+    (deterministically ordered), one inference per group.
+
+    Reference semantics (``SemanticAggregate``): ALL records → one output.
+    Here grouped (``group_cols=None`` ⇒ one global group) so the plan is a
+    hash-agg fan-in, not a driver collect — the 100 TB shape. The inference
+    input is bounded by the group's concatenated text; at scale pair this
+    with ``split_convert``-style pre-reduction.
+    """
+    infer = _infer_udf(infer_fn or default_infer_fn("sem-agg"))
+    gcols = group_cols or []
+    src = df if gcols else df.withColumn("_g", F.lit(1))
+    keys = gcols or ["_g"]
+    order = F.col(order_col) if order_col else F.col(text_col)
+    agg = (
+        src.groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(order.alias("o"), F.col(text_col).alias("t")))),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("_joined")
+        )
+        .select(*keys, infer(F.concat(F.lit(instruction + "\n\n"), F.col("_joined"))).alias(output_field))
+    )
+    return agg.drop("_g") if not gcols else agg

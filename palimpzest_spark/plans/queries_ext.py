@@ -456,3 +456,77 @@ def multimodal_features(spark, sf_dir):
     return feats.select(
         "asset_id", F.round(F.element_at("features", 1), 4).alias("f0")
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# semantic-strategy pipelines (operators/strategies.py — the reference's
+# RAG / Split / MoA / Critique physical converts with deterministic stubs)
+# ---------------------------------------------------------------------------
+
+
+@_q("sem_rag_convert")  # rows-only: inference stub is engine-internal
+def sem_rag_convert(spark, sf_dir):
+    from palimpzest_spark.operators import strategies as S
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = S.rag_convert(docs, "find key entities", chunk_size=256, num_chunks=2)
+    return out.select("doc_id", "_sem_out").orderBy("doc_id")
+
+
+@_q("sem_split_convert")  # rows-only
+def sem_split_convert(spark, sf_dir):
+    from palimpzest_spark.operators import strategies as S
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = S.split_convert(docs, "summarize", key_cols=["doc_id"], num_chunks=4,
+                          min_size_to_chunk=256)
+    return out.select("doc_id", "_sem_out").orderBy("doc_id")
+
+
+@_q("sem_mixture_of_agents")  # rows-only
+def sem_mixture_of_agents(spark, sf_dir):
+    from palimpzest_spark.operators import strategies as S
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = S.mixture_of_agents_convert(docs, "classify topic", n_proposers=3)
+    return out.select("doc_id", "_sem_out").orderBy("doc_id")
+
+
+@_q("sem_aggregate_by_lang")  # rows-only
+def sem_aggregate_by_lang(spark, sf_dir):
+    from palimpzest_spark.functions import text as XT
+    from palimpzest_spark.operators import strategies as S
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = docs.withColumn("lang", XT.lang_id("text"))
+    out = S.sem_aggregate(docs, "summarize corpus", group_cols=["lang"], order_col="doc_id")
+    return out.orderBy("lang")
+
+
+@_q(
+    "asof_join_click_view",
+    oracle="""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click' AND user_id < 40),
+     views  AS (SELECT user_id, ts, max(event_id) AS view_event_id
+                FROM events WHERE event_type = 'view' AND user_id < 40 GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.ts AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+)
+def asof_join_click_view(spark, sf_dir):
+    """As-of join (operators/join.py::asof_join — absent in reference AND in
+    core Spark; SURVEY §2.3 missing-join-types row). For each click, the
+    latest view at-or-before it per user. One shuffle, window-carried state."""
+    from palimpzest_spark.operators.join import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .select("user_id", F.col("ts").alias("view_ts"), "view_event_id")
+    )
+    out = asof_join(clicks, views, on=["user_id"], left_ts="ts", right_ts="view_ts")
+    return out.select("event_id", "user_id", "ts", "view_event_id", "view_ts")

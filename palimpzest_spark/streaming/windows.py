@@ -14,6 +14,9 @@ beyond the CDC path (which lives in ``cdc/runner.py``):
 
 Everything here is source-agnostic: tests drive it with a file source +
 ``availableNow`` trigger so a finite directory behaves like a stream.
+Event-time columns are cast to TIMESTAMP (LTZ): parquet sources surface
+TIMESTAMP_NTZ, which watermarks reject; the session timezone is UTC so the
+cast is a no-op on the values.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ def tumbling_counts(
 ) -> DataFrame:
     """Tumbling window count+sum with a watermark: state for a window is
     dropped once the watermark passes its end — bounded state at any scale."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), key_col)
@@ -67,6 +71,7 @@ def sliding_counts(
     slide: str = "5 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide).alias("win"), key_col)
@@ -84,6 +89,7 @@ def session_aggregate(
 ) -> DataFrame:
     """Gap-based session windows (stateful; closes when the watermark moves
     past last-event + gap)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)

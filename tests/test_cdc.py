@@ -181,3 +181,70 @@ def test_kill_and_resume_stream(spark, fixture_dirs, tmp_path):
     )
     assert resumed, "resume processed nothing"
     _assert_state_equal(_actual(spark, table), _expected(fixture_dirs))
+
+
+def test_iceberg_sql_generation_and_gate(spark, tmp_path):
+    """The Iceberg path's SQL is pure and testable without the runtime jar;
+    execution is explicitly gated."""
+    from palimpzest_spark.cdc import iceberg as I
+
+    sql = I.merge_into_sql("lake.conv", "src", ["role", "text", "tool", "ts"])
+    assert "MERGE INTO lake.conv t USING src s" in sql
+    assert "t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
+    # strict version guard: idempotent on replay
+    assert "s._ts > t._ts OR (s._ts = t._ts AND s._event_seq > t._event_seq)" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+    ddl = I.create_table_sql("lake.conv", {"role": "string", "text": "string"}, n_buckets=64)
+    assert "PARTITIONED BY (bucket(64, conv_id))" in ddl
+    assert I.evolve_table_schema_sql("t", {"tool_args": "string"}) == [
+        "ALTER TABLE t ADD COLUMN tool_args string"
+    ]
+
+    assert not I.iceberg_available(spark)  # no jar in this container
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        I.merge_batch_iceberg(spark, "lake.conv", spark.range(1), 0)
+
+
+def test_pyfiles_zip_builds(tmp_path):
+    from palimpzest_spark.submit import build_pyfiles_zip
+    import zipfile
+
+    out = build_pyfiles_zip(str(tmp_path / "pz.zip"))
+    names = zipfile.ZipFile(out).namelist()
+    assert "palimpzest_spark/cdc/merge.py" in names
+    assert "palimpzest_spark/session.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+def test_schema_fits_probe_detects_anomalies(spark):
+    """The JVM probe must pass on fitting batches and fail on exactly the
+    three anomaly classes: new column, numeric widening-needed, type drift."""
+    from pyspark.sql import types as T
+    from palimpzest_spark.cdc.reconcile import schema_fits_probe
+
+    public = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def b(payloads):
+        return spark.createDataFrame([(p,) for p in payloads], "payload string")
+
+    fits = b(['{"conv_id": "c1", "turn_idx": 3, "text": "hi"}', None])
+    assert schema_fits_probe(fits, public)
+
+    new_col = b(['{"conv_id": "c1", "turn_idx": 3, "text": "hi", "tool_args": "x"}'])
+    assert not schema_fits_probe(new_col, public)
+
+    widen = b(['{"conv_id": "c1", "turn_idx": 3000000000, "text": "hi"}'])  # > int32
+    assert not schema_fits_probe(widen, public)
+
+    drift = b(['{"conv_id": "c1", "turn_idx": "not-a-number", "text": "hi"}'])
+    assert not schema_fits_probe(drift, public)
+
+    assert not schema_fits_probe(fits, None)  # no table schema yet → must infer
