@@ -30,6 +30,14 @@ HEADLINE = [
     "join_semi",
     "distinct_op",
     "topk_per_group",
+    "window_running_sum",
+    "rollup_pricing",
+    "sessionization",
+    "asof_join_click_view",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "text_quality",
+    "ann_cosine_topk",
 ]
 
 

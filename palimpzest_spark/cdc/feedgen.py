@@ -35,16 +35,26 @@ BASE_EPOCH = 1_700_000_000  # fixed epoch; no wall clock anywhere
 
 
 def _texts(rng: np.random.Generator, n: int, lo: int = 4, hi: int = 14) -> np.ndarray:
-    """Vectorized random sentences."""
-    lens = rng.integers(lo, hi, n)
+    """Vectorized random sentences.
+
+    Builds a pool of ≤200k unique sentences and indexes into it: the
+    per-sentence ``join`` loop is the only non-vectorized step, and capping
+    it keeps 16M-event fixture generation at ~1 min instead of ~15 (engine
+    work is insensitive to text uniqueness — normalization/merge cost scales
+    with length, and key-level dedup behavior comes from conv_id/turn_idx,
+    not text)."""
+    pool = min(n, 200_000)
+    lens = rng.integers(lo, hi, pool)
     flat = rng.integers(0, len(WORDS), int(lens.sum()))
     words = WORDS[flat]
-    out = np.empty(n, dtype=object)
+    uniq = np.empty(pool, dtype=object)
     pos = 0
     for i, ln in enumerate(lens):  # driver-side fixture synthesis, not engine path
-        out[i] = " ".join(words[pos : pos + ln])
+        uniq[i] = " ".join(words[pos : pos + ln])
         pos += ln
-    return out
+    if pool == n:
+        return uniq
+    return uniq[rng.integers(0, pool, n)]
 
 
 def gen_base_table(out_dir: str, n_convs: int = 200, max_turns: int = 12, seed: int = 42) -> str:
@@ -168,7 +178,9 @@ def gen_change_feed(
         "op": _col(ops.astype(object), pa.string()),
         "conv_id": _col(conv_ids, pa.string()),
         "turn_idx": _col(turn_idx, pa.int64()),
-        "payload": _col(payloads, pa.string()),
+        # large_string: >2GB of payload bytes overflows int32 offsets during
+        # the sort/take at 10M+ events; parquet stores it as plain UTF8
+        "payload": _col(payloads, pa.large_string()),
         "ts": _col(ts.astype("datetime64[s]").astype("datetime64[us]"), pa.timestamp("us")),
         "event_seq": _col(event_seq, pa.int64()),
         "partition": _col(partition, pa.int32()),

@@ -130,22 +130,13 @@ class SnapshotLakeTable:
 
     # -- writes ---------------------------------------------------------------
 
-    def write_buckets(
-        self,
-        df: DataFrame,
-        buckets: list[int],
-        schema_json: dict,
-        summary: dict,
-    ) -> int:
-        """Rewrite the given buckets with ``df`` (must contain ``_bucket``),
-        carry all other buckets' files forward, commit a new snapshot.
-
-        The caller controls the shuffle layout (e.g. merge.py salts hot
-        buckets across tasks); this method only lays files out per bucket —
-        ``partitionBy`` routes rows to bucket directories regardless of which
-        task writes them, so multiple tasks per bucket just mean multiple
-        files per bucket, which the snapshot tracks as lists.
-        """
+    def write_files(self, df: DataFrame, buckets: list[int]) -> tuple[str, dict]:
+        """Materialize ``df`` (must contain ``_bucket``) as uncommitted data
+        files, laid out per bucket. Returns ``(out_rel, files_by_bucket)``.
+        Nothing is visible to readers until :meth:`commit_files` — the
+        write/commit split lets an optimistic merge validate the batch (e.g.
+        the schema-anomaly observation) AFTER the files exist and abort
+        without a trace (Iceberg's uncommitted-snapshot discipline)."""
         prev = self.snapshot()
         out_rel = os.path.join("data", f"w{prev['version'] + 1}-{uuid.uuid4().hex[:8]}")
         out_abs = os.path.join(self.root, out_rel)
@@ -158,7 +149,6 @@ class SnapshotLakeTable:
             .partitionBy("_bp")
             .parquet(out_abs)
         )
-        # index the freshly written files by bucket
         new_files: dict[str, list[str]] = {str(b): [] for b in buckets}
         for bdir in os.listdir(out_abs):
             if not bdir.startswith("_bp="):
@@ -167,8 +157,31 @@ class SnapshotLakeTable:
             for fn in os.listdir(os.path.join(out_abs, bdir)):
                 if fn.endswith(".parquet"):
                     new_files.setdefault(b, []).append(os.path.join(out_rel, bdir, fn))
+        return out_rel, new_files
+
+    def abort_files(self, out_rel: str) -> None:
+        """Discard an uncommitted write (never referenced by any snapshot)."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, out_rel), ignore_errors=True)
+
+    def commit_files(
+        self, buckets: list[int], new_files: dict, schema_json: dict, summary: dict
+    ) -> int:
+        prev = self.snapshot()
         files = {
             b: ps for b, ps in prev["files"].items() if int(b) not in set(buckets)
         }
         files.update(new_files)
         return self.commit({"files": files, "schema": schema_json, "summary": summary})
+
+    def write_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        schema_json: dict,
+        summary: dict,
+    ) -> int:
+        """Write + commit in one step (bootstrap / non-optimistic callers)."""
+        _out_rel, new_files = self.write_files(df, buckets)
+        return self.commit_files(buckets, new_files, schema_json, summary)

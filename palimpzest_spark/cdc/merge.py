@@ -128,50 +128,69 @@ def merge_batch(
     if batch_id <= table.last_batch_id():
         return {"batch_id": batch_id, "skipped": True, "events": 0, "elapsed_sec": 0.0}
 
-    # (7a)+(2) two driver-side jobs — the per-partition lineage/bucket agg and
-    # the Arrow schema inference — run CONCURRENTLY: both are narrow scans of
-    # the batch, and overlapping them keeps executor cores busy instead of
-    # serializing two half-idle stages (measured ~2x lower per-batch fixed
-    # cost). The big merge job then scans the parquet source directly; no
-    # persist — caching the raw batch costs more than the extra columnar scan.
-    # grouped by (partition, bucket) — NOT partition alone: a per-partition
+    # (7a)+(2) ONE pre-pass job computes lineage AND the schema-fit check.
+    # Grouping is (partition, bucket) — not partition alone: a per-partition
     # collect_set(bucket) funnels the whole batch through one final-agg task
     # (measured: a serial 3-4s). 128 tiny groups keep the combine map-side
     # and the final exchange trivial.
+    #
+    # Schema resolution is two-tier and always exact: the fused probe parses
+    # each payload ONCE into map<string,string> (JVM, codegen) and counts
+    # rows that provably do NOT fit the table's current schema — unknown
+    # keys, or a non-string field whose raw value fails try-cast to its
+    # current type. anomalies == 0 ⇒ the known schema decodes this batch
+    # losslessly and the Python/Arrow inference pass is SKIPPED (steady
+    # state); any anomaly (first batch, new column, widening, type drift)
+    # pays the exact Arrow inference (reconcile.py). A previous design ran
+    # the probe as its own job with get_json_object per checked field —
+    # that re-parsed every payload ~5x and cost as much CPU as the merge
+    # itself; the fused single-parse probe rides the lineage scan.
     bucket_expr = F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int")
-    lineage_q = (
-        batch.groupBy("partition", bucket_expr.alias("_b"))
-        .agg(F.count(F.lit(1)).alias("events"), F.max("offset").alias("max_offset"))
-    )
-    from concurrent.futures import ThreadPoolExecutor
-
-    # schema resolution is two-tier: a JVM codegen probe proves the batch
-    # fits the table's current schema (steady state — no Python pass at all);
-    # only a failing probe (new column / widening / type drift / first batch)
-    # pays the exact Arrow inference. Both tiers are exact, never sampled.
     table_public_pre = _public_schema(table)
 
-    def _resolve_schema() -> T.StructType | None:
-        from palimpzest_spark.cdc.reconcile import schema_fits_probe
+    pre_cols = [
+        F.col("partition"),
+        bucket_expr.alias("_b"),
+        F.col("offset"),
+        F.col("payload"),
+    ]
+    anomaly_expr = None
+    if table_public_pre is not None:
+        known = {f.name: f.dataType for f in table_public_pre.fields}
+        pre_cols.append(F.from_json("payload", "map<string,string>").alias("_m"))
+        known_arr = F.array(*[F.lit(k) for k in sorted(known)])
+        bads = [
+            F.col("_m").isNull(),
+            F.size(F.array_except(F.map_keys(F.col("_m")), known_arr)) > 0,
+        ]
+        for name, dt in known.items():
+            if isinstance(dt, (T.StringType, T.NullType)):
+                continue  # everything casts to string — cannot drift
+            v = F.col("_m").getItem(name)
+            bads.append(v.isNotNull() & v.cast(dt).isNull())
+        anom = F.col("payload").isNotNull()
+        from functools import reduce
 
-        if table_public_pre is not None and schema_fits_probe(batch, table_public_pre):
-            return T.StructType([T.StructField(f.name, f.dataType, True) for f in table_public_pre.fields])
-        return infer_payload_schema(batch)
+        anomaly_expr = (anom & reduce(lambda a, b: a | b, bads)).cast("long")
 
-    with ThreadPoolExecutor(2) as pool:
-        lineage_fut = pool.submit(lineage_q.collect)
-        schema_fut = pool.submit(_resolve_schema)
-        lineage_cells = lineage_fut.result()
-        payload_schema = schema_fut.result()
+    pre = batch.select(*pre_cols)
+    aggs = [F.count(F.lit(1)).alias("events"), F.max("offset").alias("max_offset")]
+    if anomaly_expr is not None:
+        pre = pre.withColumn("_anom", anomaly_expr)
+        aggs.append(F.sum("_anom").alias("anomalies"))
+    lineage_cells = pre.groupBy("partition", "_b").agg(*aggs).collect()
 
     # driver-side fold of the 128-cell grid into per-source-partition lineage
     per_part: dict[int, dict[str, int]] = {}
     buckets_seen: set[int] = set()
+    n_anomalies = 0
     for r in lineage_cells:
         p = per_part.setdefault(r["partition"], {"events": 0, "max_offset": -1})
         p["events"] += r["events"]
         p["max_offset"] = max(p["max_offset"], r["max_offset"])
         buckets_seen.add(r["_b"])
+        if anomaly_expr is not None:
+            n_anomalies += int(r["anomalies"] or 0)
     lineage_rows = [
         {"partition": k, "events": v["events"], "max_offset": v["max_offset"]}
         for k, v in per_part.items()
@@ -180,6 +199,12 @@ def merge_batch(
     if n_events == 0:
         return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
     affected = sorted(buckets_seen)
+    if table_public_pre is not None and n_anomalies == 0:
+        payload_schema: T.StructType | None = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in table_public_pre.fields]
+        )
+    else:
+        payload_schema = infer_payload_schema(batch)
     if _DEBUG:
         print(f"[merge {batch_id}] lineage+infer (concurrent) {time.perf_counter() - t0:.1f}s")
 

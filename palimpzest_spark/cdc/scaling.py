@@ -4,29 +4,37 @@ The north rule's two-cluster-size criterion (≥0.8 throughput scaling from N
 to 4N executors) cannot use a real cluster in this sandbox; per the task
 instruction it is evidenced by running the identical job on the identical
 input at two parallelism levels ("N and 4N cores") and reporting throughput
-at both plus efficiency = (T_4N_rate / T_N_rate) / 4.
+at both plus efficiency = (rate_4N / rate_N) / 4.
 
-Why N=4 → 4N=16 (not 8 → 32) on this 32-core box: executors on a real
-cluster bring their OWN sockets — private memory bandwidth and turbo
-budget. A single socket shares both across all cores, and measured ceilings
-here show exactly that hardware asymptote, independent of Spark:
+Methodology — each choice exists because a naive measurement on this host
+produced a specific artifact (all measured, see git history):
 
-- pure-ALU multiprocessing (no JVM): 8→32 cores = 0.856 efficiency
-- whole-stage-codegen burn (spark.range + xxhash sum):
-  4→16 = 0.91, 8→32 = 0.70 (last doubling hits the shared
-  memory-bandwidth/turbo wall; per-core rate drops 110 → 72 M rows/s)
+- **CPU pinning** (``sched_setaffinity`` before Spark starts): an unpinned
+  "local[4]" silently borrows extra host cores for Python UDF workers and
+  JVM service threads, inflating the N baseline. Pinning is the cgroup-
+  cpuset executor model of YARN/K8s.
+- **N=4 → 4N=16 of the 32 cores**: executors on a real cluster bring their
+  own sockets; a single socket shares memory bandwidth and turbo budget.
+  Measured ceilings: pure-ALU multiprocessing 8→32 = 0.856 efficiency; JVM
+  codegen burn 4→16 = 0.91 but 8→32 = 0.70. Measuring 4→16 keeps the
+  shared-socket wall out of the number so it reflects the job's parallel
+  structure.
+- **Interleaved trials**: the host shows multi-minute CPU-steal bursts that
+  can halve throughput. Running all N trials then all 4N trials lets one
+  burst land entirely on one level (observed: a run with efficiency 1.36 —
+  super-linear, i.e. garbage — because a burst flattened the N window).
+  Both JVMs are started once (fresh, own warmup replay), then trials
+  alternate N, 4N, N, 4N strictly serially, so noise windows cover both
+  levels equally; report the per-level median.
+- **Same-fixture warmup replay per JVM**: the first executions of a plan
+  shape run pre-C2 and are 3-8x slower; one full warmup replay makes every
+  measured trial a sustained-throughput sample.
+- **16M events**: at 4M the per-batch driver-side serial cost (~3s) is ~30%
+  of the 4N wall clock, capping measurable efficiency near 0.6 by Amdahl
+  regardless of the pipeline (the sustained-tail regime is what the metric
+  describes anyway).
 
-Measuring 4→16 keeps the shared-socket wall out of the measurement, so the
-number reflects the JOB's parallel structure (what would transfer to a real
-N→4N executor fleet) rather than the host's power management. The probe
-harness also pins per-task native threads (Arrow ``use_threads=False``) so
-a "4-core" run cannot silently borrow the other 28 cores.
-
-Each measurement runs in a **fresh subprocess** (own JVM) so neither level
-inherits the other's JIT state; within a JVM, one full warmup replay of the
-same fixture precedes measurement (sustained throughput — see bench.py).
-
-Usage:  python -m palimpzest_spark.cdc.scaling [--events 4000000] [--out BENCH/BASELINE.md]
+Usage:  python -m palimpzest_spark.cdc.scaling [--events 16000000] [--out BENCH/BASELINE.md]
 """
 
 from __future__ import annotations
@@ -39,62 +47,101 @@ import sys
 
 _CHILD = """
 import json, os, sys
-cores, n_events, n_convs, trials = (int(x) for x in sys.argv[1:5])
-# pin the WHOLE process tree (JVM task threads, GC/JIT threads, Python UDF
-# workers) to exactly `cores` CPUs before Spark starts: an unpinned
-# "local[4]" silently borrows extra host cores for Python workers and JVM
-# service threads, which inflates the N-level baseline and understates
-# scaling. Pinning is the honest model of an N-core executor container
-# (YARN/K8s cgroup cpuset).
-os.sched_setaffinity(0, set(range(cores)))
+cores, cpu_offset, n_events, n_convs = (int(x) for x in sys.argv[1:5])
+# disjoint CPU sets per level (N on 0..N-1, 4N on the upper cores) so the
+# idle level's JVM background threads never touch the measuring level's CPUs
+os.sched_setaffinity(0, set(range(cpu_offset, cpu_offset + cores)))
 from palimpzest_spark.session import get_spark
 from palimpzest_spark.cdc.bench import ensure_fixture, _replay_fresh
 spark = get_spark(app_name=f"cdc_scaling_{cores}", master=f"local[{cores}]",
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 fix = ensure_fixture(n_events=n_events, n_convs=n_convs, max_turns=24, n_files=32)
-_replay_fresh(spark, fix, files_per_batch=32, n_buckets=16)  # warmup replay
-for t in range(trials):
-    m = _replay_fresh(spark, fix, files_per_batch=32, n_buckets=16)
-    print("RESULT " + json.dumps(m))
+_replay_fresh(spark, fix, files_per_batch=16, n_buckets=16)  # warmup replay
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() != "GO":
+        break
+    m = _replay_fresh(spark, fix, files_per_batch=16, n_buckets=16)
+    print("RESULT " + json.dumps(m), flush=True)
 spark.stop()
 """
 
 
-def run_at(cores: int, n_events: int, n_convs: int, trials: int = 5) -> dict:
-    """Median of ``trials`` replays in one warm JVM.
-
-    This sandbox VM sees bursty host-level CPU steal that can double any
-    single wall-clock sample; the median of several warm replays is the
-    robust estimator of sustained throughput (best-of-N would overclaim,
-    a single sample is a coin flip).
-    """
-    out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cores), str(n_events), str(n_convs), str(trials)],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-    )
-    rates = []
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            rates.append(json.loads(line[len("RESULT "):])["events_per_sec"])
-    if not rates:
-        raise RuntimeError(
-            f"scaling child (local[{cores}]) failed:\n{out.stdout}\n{out.stderr[-2000:]}"
+class _Child:
+    def __init__(self, cores: int, cpu_offset: int, n_events: int, n_convs: int):
+        self.cores = cores
+        self.errpath = f"/tmp/pz_scaling_{cores}.stderr"
+        self.proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", _CHILD, str(cores), str(cpu_offset),
+             str(n_events), str(n_convs)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=open(self.errpath, "w"),
+            text=True,
+            bufsize=1,
         )
-    return {
-        "events_per_sec": statistics.median(rates),
-        "trials": [round(r, 1) for r in rates],
-    }
+
+    def _read_until(self, prefix: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                tail = ""
+                try:
+                    tail = open(self.errpath).read()[-2000:]
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"scaling child local[{self.cores}] died; stderr tail:\n{tail}"
+                )
+            if line.startswith(prefix):
+                return line[len(prefix):].strip()
+
+    def wait_ready(self) -> None:
+        self._read_until("READY")
+
+    def trial(self) -> float:
+        self.proc.stdin.write("GO\n")
+        self.proc.stdin.flush()
+        return json.loads(self._read_until("RESULT "))["events_per_sec"]
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+
+
+def run_interleaved(n: int, n_events: int, n_convs: int, trials: int) -> tuple[dict, dict]:
+    total = (__import__("os").cpu_count() or 32)
+    # start strictly sequentially: the second child begins only after the
+    # first is READY, so fixture generation never races and the warmup
+    # replays never contend
+    small = _Child(n, 0, n_events, n_convs)
+    try:
+        small.wait_ready()
+    except Exception:
+        small.close()
+        raise
+    big = _Child(n * 4, max(total - n * 4, 0), n_events, n_convs)
+    try:
+        big.wait_ready()
+        rates_n: list[float] = []
+        rates_4n: list[float] = []
+        for _ in range(trials):
+            rates_n.append(small.trial())
+            rates_4n.append(big.trial())
+    finally:
+        small.close()
+        big.close()
+    return (
+        {"events_per_sec": statistics.median(rates_n), "trials": [round(r, 1) for r in rates_n]},
+        {"events_per_sec": statistics.median(rates_4n), "trials": [round(r, 1) for r in rates_4n]},
+    )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    # 16M events: the replay must be long enough that per-batch driver-side
-    # serial costs (~3s: catalyst analysis, lineage collect, snapshot commit)
-    # are amortized at the 4N level — at 4M events they were ~30% of the 4N
-    # wall clock, capping measurable efficiency at ~0.6 regardless of the
-    # pipeline's parallel quality (Amdahl).
     ap.add_argument("--events", type=int, default=16_000_000)
     ap.add_argument("--convs", type=int, default=320_000)
     ap.add_argument("--n", type=int, default=4, help="small parallelism (N)")
@@ -102,8 +149,7 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="write a markdown report here")
     args = ap.parse_args()
 
-    small = run_at(args.n, args.events, args.convs, args.trials)
-    big = run_at(args.n * 4, args.events, args.convs, args.trials)
+    small, big = run_interleaved(args.n, args.events, args.convs, args.trials)
     t_n, t_4n = small["events_per_sec"], big["events_per_sec"]
     eff = (t_4n / t_n) / 4 if t_n else 0.0
     result = {
@@ -126,26 +172,28 @@ def main() -> None:
 ## CDC merge-apply throughput + N→4N scaling (BASELINE.json headline)
 
 Same job, same input ({args.events:,} change events over {args.convs:,}
-conversations, seed=42), two parallelism levels, fresh JVM each, one full
-warmup replay per JVM, median of {args.trials} measured replays:
+conversations, seed=42). Two pinned parallelism levels (`sched_setaffinity`
+— the cgroup-cpuset executor model), one fresh JVM each with a full warmup
+replay, then trials strictly ALTERNATING between levels so host-noise
+windows cover both equally; per-level median of {args.trials}:
 
-| parallelism | events/sec (median) | trials |
+| parallelism | events/sec (median) | interleaved trials |
 |---|---|---|
-| local[{args.n}]  (N)  | {t_n:,.0f} | {small['trials']} |
-| local[{args.n * 4}] (4N) | {t_4n:,.0f} | {big['trials']} |
+| local[{args.n}], pinned to {args.n} CPUs (N) | {t_n:,.0f} | {small['trials']} |
+| local[{args.n * 4}], pinned to {args.n * 4} CPUs (4N) | {t_4n:,.0f} | {big['trials']} |
 
 - speedup 4N/N: **{t_4n / t_n:.2f}x**
 - scaling efficiency (speedup/4): **{eff:.3f}** (gate: ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
 Method: `python -m palimpzest_spark.cdc.scaling --events {args.events}`.
 Each replay: batch replay of the full change feed through the merge-apply
-pipeline (schema reconcile → vectorized decode/normalize → fused LWW merge
-→ AQE-rebalanced bucketed rewrite → snapshot commit) into a fresh table;
-bootstrap excluded. N=4→4N=16 of this box's 32 cores so the measurement
-reflects the job's parallel structure, not the single shared socket's
-memory-bandwidth/turbo wall (a real 4N-executor fleet multiplies sockets;
-see palimpzest_spark/cdc/scaling.py docstring for the measured hardware
-ceilings behind this choice).
+pipeline (fused lineage+schema-probe pre-pass → vectorized decode/normalize
+→ fused LWW merge → AQE-rebalanced bucketed rewrite → snapshot commit) into
+a fresh table; bootstrap excluded. N=4→4N=16 of this box's 32 cores so the
+measurement reflects the job's parallel structure, not the single shared
+socket's memory-bandwidth/turbo wall (a real 4N-executor fleet multiplies
+sockets; `palimpzest_spark/cdc/scaling.py` documents every methodology
+choice with the artifact it prevents).
 """
         with open(args.out, "w") as f:
             f.write(md)

@@ -170,6 +170,64 @@ class Dataset:
     def sem_topk(self, index: "Dataset", vec_col: str, query: list[float], k: int) -> "Dataset":
         return self._wrap(embedding_top_k(index.df, vec_col, query, k))
 
+    def sem_map_with_strategy(
+        self,
+        instruction: str,
+        strategy: str = "default",
+        text_col: str = "text",
+        output_field: str = "_sem_out",
+        **kw,
+    ) -> "Dataset":
+        """NL convert with an explicit physical strategy — the reference's
+        optimizer picks among these per the rule set (``rules.py:660-843``);
+        here the choice is a parameter: ``rag`` | ``split`` | ``moa`` |
+        ``critique`` | ``default`` (plain single-call map)."""
+        from palimpzest_spark.operators import strategies as S
+
+        if strategy == "rag":
+            return self._wrap(S.rag_convert(self.df, instruction, text_col, output_field, **kw))
+        if strategy == "split":
+            return self._wrap(
+                S.split_convert(self.df, instruction, text_col=text_col,
+                                output_field=output_field, **kw)
+            )
+        if strategy == "moa":
+            return self._wrap(
+                S.mixture_of_agents_convert(self.df, instruction, text_col, output_field, **kw)
+            )
+        if strategy == "critique":
+            return self._wrap(
+                S.critique_and_refine_convert(self.df, instruction, text_col, output_field, **kw)
+            )
+        return self.sem_map(instruction, output_field)
+
+    def sem_agg(
+        self,
+        instruction: str,
+        text_col: str = "text",
+        group_cols: list[str] | None = None,
+        order_col: str | None = None,
+    ) -> "Dataset":
+        """NL whole-group summarization (``dataset.py:580-609``) — grouped
+        hash-agg fan-in, never a driver collect."""
+        from palimpzest_spark.operators import strategies as S
+
+        return self._wrap(
+            S.sem_aggregate(self.df, instruction, text_col, group_cols, order_col=order_col)
+        )
+
+    def sem_flat_map(self, instruction: str, output_field: str = "_sem_out") -> "Dataset":
+        """NL one-to-many convert (``dataset.py:526-548``): inference column →
+        split → posexplode (cardinality index = _cardinality_idx)."""
+        out = self.sem_map(instruction, output_field).df
+        exploded = out.select(
+            "*",
+            F.posexplode(F.split(F.col(output_field), ":")).alias(
+                "_cardinality_idx", "_sem_part"
+            ),
+        ).drop(output_field)
+        return self._wrap(exploded)
+
     # -- execution -----------------------------------------------------------
 
     def run(self) -> pd.DataFrame:

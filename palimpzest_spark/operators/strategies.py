@@ -279,3 +279,83 @@ def sem_aggregate(
         .select(*keys, infer(F.concat(F.lit(instruction + "\n\n"), F.col("_joined"))).alias(output_field))
     )
     return agg.drop("_g") if not gcols else agg
+
+
+# ---------------------------------------------------------------------------
+# Embedding join (join.py:492-822) — similarity-banded theta-join
+# ---------------------------------------------------------------------------
+
+
+def embed_text_udf(dim: int = 16) -> Callable[..., Column]:
+    """Deterministic embedding stub (hash-seeded unit vector — swap for a
+    real embedding client; the plan shape is identical)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        import zlib
+
+        def emb(t: str) -> list[float]:
+            rng = np.random.default_rng(zlib.crc32(t.encode()) & 0xFFFFFFFF)
+            v = rng.standard_normal(dim)
+            return (v / np.linalg.norm(v)).tolist()
+
+        return texts.fillna("").map(emb)
+
+    return udf
+
+
+def embedding_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: str,
+    text_left: str = "text",
+    text_right: str = "text",
+    lo: float = 0.2,
+    hi: float = 0.9,
+    dim: int = 16,
+    block_on: list[str] | None = None,
+    infer_fn: InferFn | None = None,
+) -> DataFrame:
+    """The reference's EmbeddingJoin (``join.py:492-822``): embed both sides,
+    short-circuit pairs whose cosine falls outside the learned band
+    [``lo``, ``hi``] (below → non-match, above → match), and run the model
+    ONLY on in-band pairs.
+
+    Spark-first: embeddings are one vectorized UDF column per side, cosine is
+    a JVM ``zip_with`` fold, and the band decision is a CASE expression — so
+    the expensive inference UDF evaluates lazily only where the CASE reaches
+    it. ``block_on`` bounds the pair space (the reference is full N×M;
+    at scale always block — equi-keys or an LSH bucket column).
+    Output: left ∘ right (right cols suffixed) + ``similarity`` + ``matched``.
+    """
+    infer = _infer_udf(infer_fn or default_infer_fn("ejoin"))
+    embed = embed_text_udf(dim)
+
+    lcols = set(left.columns)
+    r = right
+    for c in right.columns:
+        if c in lcols and (not block_on or c not in block_on):
+            r = r.withColumnRenamed(c, c + "_right")
+    rtext = text_right + "_right" if text_right in lcols and (not block_on or text_right not in block_on) else text_right
+
+    le = left.withColumn("_e_l", embed(F.col(text_left)))
+    re_ = r.withColumn("_e_r", embed(F.col(rtext)))
+    pairs = le.join(re_, on=block_on) if block_on else le.crossJoin(re_)
+
+    dot = F.aggregate(
+        F.zip_with("_e_l", "_e_r", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    pairs = pairs.withColumn("similarity", dot)  # unit vectors: dot = cosine
+    prompt = F.concat(
+        F.lit(condition + "\n\n"),
+        F.coalesce(F.col(text_left), F.lit("")),
+        F.lit("\n---\n"),
+        F.coalesce(F.col(rtext), F.lit("")),
+    )
+    matched = (
+        F.when(F.col("similarity") < lo, F.lit(False))
+        .when(F.col("similarity") > hi, F.lit(True))
+        .otherwise(F.startswith(infer(prompt), F.lit("ejoin:0")))  # stub decision
+    )
+    return pairs.withColumn("matched", matched).drop("_e_l", "_e_r")

@@ -248,3 +248,44 @@ def test_schema_fits_probe_detects_anomalies(spark):
     assert not schema_fits_probe(drift, public)
 
     assert not schema_fits_probe(fits, None)  # no table schema yet → must infer
+
+
+def test_probe_skips_arrow_inference_in_steady_state(spark, tmp_path, monkeypatch):
+    """Two-tier schema resolution: batches that provably fit the table schema
+    must NOT pay the Python/Arrow inference pass; evolution batches must."""
+    import palimpzest_spark.cdc.merge as M
+
+    calls = []
+    orig = M.infer_payload_schema
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(M, "infer_payload_schema", counting)
+
+    # no evolution anywhere in the feed → every batch fits the bootstrap schema
+    d = tmp_path / "steady"
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=40, max_turns=6, seed=7)
+    feedgen.gen_change_feed(
+        str(d / "feed"), n_events=2000, n_convs=40, max_turns=6, n_files=4, seed=7,
+        evolve_at=2.0,  # never evolves
+    )
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, str(d / "feed"), files_per_batch=2)
+    assert calls == [], "steady-state batches must skip Arrow inference"
+
+    # evolution mid-feed → at least one batch pays inference, and the widened
+    # schema then satisfies the probe again for later batches
+    d2 = tmp_path / "evolve"
+    base2 = feedgen.gen_base_table(str(d2 / "base"), n_convs=40, max_turns=6, seed=7)
+    feedgen.gen_change_feed(
+        str(d2 / "feed"), n_events=4000, n_convs=40, max_turns=6, n_files=8, seed=7,
+        evolve_at=0.25,
+    )
+    table2 = SnapshotLakeTable(str(d2 / "lake"), n_buckets=8)
+    bootstrap(spark, table2, base2)
+    replay_batches(spark, table2, str(d2 / "feed"), files_per_batch=2)
+    assert 1 <= len(calls) <= 2, f"evolution should infer once or twice, got {len(calls)}"
+    assert "tool_args" in [f.name for f in table2.schema().fields]

@@ -255,3 +255,40 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         lt.sort_values("ts"), rt.sort_values("ts"), on="ts", by="k", direction="forward"
     ).sort_values("lv").reset_index(drop=True)
     assert (got_f["rv"].fillna(-1).to_numpy() == want_f["rv"].fillna(-1).to_numpy()).all()
+
+
+def test_embedding_join_band_shortcircuit(spark):
+    """In-band pairs go to the model; out-of-band pairs short-circuit.
+    Identical texts have cosine 1.0 (> hi → matched without inference)."""
+    L = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "totally different words")], "lid long, text string"
+    )
+    R = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "other content here")], "rid long, text string"
+    )
+    out = S.embedding_join(L, R, "same topic?", lo=0.2, hi=0.99).toPandas()
+    assert len(out) == 4  # full cross product
+    exact = out[(out.lid == 0) & (out.rid == 10)]
+    assert bool(exact["matched"].iloc[0]) and abs(exact["similarity"].iloc[0] - 1.0) < 1e-9
+    # deterministic across runs
+    again = S.embedding_join(L, R, "same topic?", lo=0.2, hi=0.99).toPandas()
+    assert sorted(map(tuple, out[["lid", "rid", "matched"]].values.tolist())) == sorted(
+        map(tuple, again[["lid", "rid", "matched"]].values.tolist())
+    )
+
+
+def test_dataset_sem_surface(spark, docs):
+    from palimpzest_spark.dataset import Dataset
+
+    ds = Dataset(docs.filter(F.col("text").isNotNull()))
+    rag = ds.sem_map_with_strategy("find entities", strategy="rag", chunk_size=64).run()
+    assert rag["_sem_out"].str.startswith("rag:").all()
+    split = ds.sem_map_with_strategy(
+        "summarize", strategy="split", key_cols=["doc_id"], num_chunks=2, min_size_to_chunk=64
+    ).run()
+    assert split["_sem_out"].str.startswith("split-merge:").all()
+    agg = ds.sem_agg("overall summary", order_col="doc_id").run()
+    assert len(agg) == 1
+    fm = ds.sem_flat_map("expand").run()
+    assert {"_cardinality_idx", "_sem_part"} <= set(fm.columns)
+    assert len(fm) >= len(split)
