@@ -167,7 +167,13 @@ def merge_batch(
             if isinstance(dt, (T.StringType, T.NullType)):
                 continue  # everything casts to string — cannot drift
             v = F.col("_m").getItem(name)
-            bads.append(v.isNotNull() & v.cast(dt).isNull())
+            # try_cast, NOT cast: under Spark 4's default ANSI mode a plain
+            # cast on a drifted value (e.g. turn_idx beyond int32, malformed
+            # number) throws CAST_INVALID_INPUT and poison-pills the batch in
+            # replay_stream's retry loop; try_cast yields NULL, which is
+            # exactly the "does not fit current schema" anomaly signal that
+            # routes the batch to exact Arrow inference.
+            bads.append(v.isNotNull() & v.try_cast(dt).isNull())
         anom = F.col("payload").isNotNull()
         from functools import reduce
 

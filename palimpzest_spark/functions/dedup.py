@@ -113,9 +113,14 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    # a, b < 2^31 with crc32 h < 2^32 keeps a*h + b < 2^63, so the int64
+    # product never wraps and (a*h + b) % MERSENNE is the genuine modular
+    # hash the banding probability P(candidate) = 1-(1-s^r)^b assumes.
+    # (Previously a ranged to 2^61, silently wrapping a*h modulo 2^64 —
+    # deterministic but no longer universal; ADVICE r1.)
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, num_perm, dtype=np.int64)
+    b = rng.integers(0, 1 << 31, num_perm, dtype=np.int64)
     return a, b
 
 

@@ -205,9 +205,12 @@ def events_tumbling_hour(spark, sf_dir):
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """,
+    # outer CAST: DuckDB sum(BIGINT) yields HUGEINT, which fetchdf() renders
+    # as float64 ("99111.0") while Spark emits int64 ("99111") — the driver's
+    # value hash diverges on rendering, not on the answer (CORRECTNESS_r01).
 )
 def events_json_extract(spark, sf_dir):
     """JSON path extraction (scalar function library — absent in reference)."""
@@ -222,7 +225,7 @@ def events_json_extract(spark, sf_dir):
     "sessionization",
     oracle="""
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -230,8 +233,9 @@ WITH g AS (
   FROM events WHERE user_id < 30
 ), s AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -249,11 +253,12 @@ def sessionization(spark, sf_dir):
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # cumulative window gets the SAME total order (ts, event_id) as the lag
+    # window: ordering by ts alone makes session ids nondeterministic under
+    # ts ties (VERDICT r1 "What's wrong" #2)
     sess = ev.withColumn("new_sess", new_sess).withColumn(
         "session_id",
-        F.sum("new_sess").over(
-            Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -340,12 +345,14 @@ def dedup_exact_docs(spark, sf_dir):
 
 @_q(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=r"""
 WITH g AS (
+  -- tokenize on \s+ exactly like the Spark side's dedup.word_shingles: a
+  -- literal single-space split diverges on any doc with runs of whitespace
   SELECT doc_id,
          list_distinct(list_transform(
-            range(1, greatest(len(string_split(trim(text), ' ')) - 2, 1) + 1),
-            i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+            range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')
          )) AS grams,
          floor(length(text) / 16) AS blk
   FROM documents
@@ -409,10 +416,25 @@ def ann_lsh_topk(spark, sf_dir):
 
 @_q("embedding_neardup")  # rows-only (LSH blocking engine-internal)
 def embedding_neardup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.9, bits=6).select(
-        "id_a", "id_b"
-    ).orderBy("id_a", "id_b")
+    """Random embeddings are never cosine-0.9 close, so the raw table made
+    this a vacuous 0-row check (VERDICT r1 #5). Plant deterministic near-dups:
+    jittered copies of the first 50 vectors (id + 1e6), pure JVM transform —
+    the LSH OR-construction must recover ~all planted pairs and the exact
+    cosine verify must keep only them."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x + F.lit(0.02) * F.cos((F.col("vec_id") + i).cast("double")),
+    )
+    planted = (
+        emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), jitter.alias("embedding"))
+    )
+    return (
+        similarity.embedding_neardup_pairs(emb.unionByName(planted), threshold=0.9, bits=6)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------

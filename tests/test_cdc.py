@@ -250,6 +250,55 @@ def test_schema_fits_probe_detects_anomalies(spark):
     assert not schema_fits_probe(fits, None)  # no table schema yet → must infer
 
 
+def test_widening_only_batch_does_not_poison_merge(spark, tmp_path):
+    """A batch whose ONLY anomaly is numeric widening (turn_idx beyond int32,
+    no new columns) must route through Arrow inference and merge cleanly.
+
+    Regression: the fused probe used Column.cast, which under Spark 4's
+    default ANSI mode throws CAST_INVALID_INPUT on the out-of-range value
+    instead of yielding NULL — crashing merge_batch (a poison-pill loop in
+    replay_stream). feedgen's evolution always co-adds tool_args, so the
+    unknown-key branch masked this; this batch has no unknown keys."""
+    import json as _json
+
+    d = tmp_path / "widen_only"
+    d.mkdir()
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=4, max_turns=2, seed=3)
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=4)
+    bootstrap(spark, table, base)
+    assert dict((f.name, f.dataType.simpleString()) for f in table.schema().fields)[
+        "turn_idx"
+    ] == "int"
+
+    big_turn = 3_000_000_000  # > int32 max; same keys as the base schema
+    payload = _json.dumps(
+        {
+            "conv_id": "conv-00000000",
+            "turn_idx": big_turn,
+            "role": "user",
+            "text": "widened",
+            "tool": None,
+        }
+    )
+    batch = spark.createDataFrame(
+        [("I", "conv-00000000", big_turn, payload, 0, 0)],
+        "op string, conv_id string, turn_idx long, payload string, "
+        "event_seq long, partition int",
+    ).selectExpr(
+        "op", "conv_id", "turn_idx", "payload",
+        f"timestamp_seconds({feedgen.BASE_EPOCH + 200_000}) as ts",
+        "event_seq", "partition", "cast(0 as long) as offset",
+    )
+    m = merge_batch(spark, table, batch, batch_id=1)  # must not raise
+    assert m["events"] == 1
+    final = _actual(spark, table)
+    assert dict((f.name, f.dataType.simpleString()) for f in table.schema().fields)[
+        "turn_idx"
+    ] == "bigint"
+    row = final[final.turn_idx == big_turn]
+    assert row["text"].tolist() == ["widened"]
+
+
 def test_probe_skips_arrow_inference_in_steady_state(spark, tmp_path, monkeypatch):
     """Two-tier schema resolution: batches that provably fit the table schema
     must NOT pay the Python/Arrow inference pass; evolution batches must."""

@@ -35,6 +35,25 @@ def _keyval(v) -> str:
     return str(v)
 
 
+def _render(v) -> str:
+    """The driver-faithful value canonicalization: rendered values must match
+    EXACTLY, preserving int-vs-float-ness. DuckDB HUGEINT sums come back from
+    fetchdf() as float64 ('99111.0') while Spark emits int64 ('99111') — the
+    r1 isclose() comparison hid exactly that class of driver hash failure."""
+    if v is None:
+        return "\x00None"
+    if isinstance(v, float):  # covers np.float64 (subclass)
+        return "\x00NaN" if math.isnan(v) else repr(float(v))
+    try:
+        import numpy as np
+
+        if isinstance(v, (int, np.integer)):
+            return repr(int(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
 def _canon(df):
     """Sort columns by name, then rows by normalized values → comparable list."""
     cols = sorted(df.columns)
@@ -44,18 +63,7 @@ def _canon(df):
 
 
 def _eq(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-    try:
-        if a == b:
-            return True
-    except Exception:
-        pass
-    return str(a) == str(b)
+    return _render(a) == _render(b)
 
 
 @pytest.mark.parametrize("name", sorted(k for k in QUERIES if k in ORACLE_SQL))
