@@ -14,6 +14,19 @@ tiny table-format abstraction with Iceberg's load-bearing properties:
   copy-on-write at file granularity, like Iceberg's partition-scoped
   overwrite. At 10^10 rows the bucket count is raised so each file stays
   ~128-512 MB; the merge cost is O(touched buckets), not O(table).
+- **merge-on-read deltas + amortized compaction**: with Zipf-skewed feeds
+  every batch touches nearly every bucket, so pure copy-on-write rewrites
+  ~the whole table per batch — write amplification that grows with table
+  size at 10^10 rows (VERDICT r1). Each bucket therefore holds *base* files
+  (key-unique, LWW-folded) plus an ordered list of *delta* files (per-batch
+  LWW-deduped upserts/tombstones); readers fold base ∪ deltas with the same
+  ``max_by(_ts, _event_seq)`` aggregate the merge uses. A bucket is
+  compacted (base ∪ deltas → new base) when its pending delta rows reach
+  ``ratio`` of its base rows or its delta-file count hits a cap — amortized
+  write cost per batch is O(batch · (2 + 1/ratio)), independent of table
+  size. (Iceberg v2 merge-on-read / Hudi MOR semantics.) When a batch rivals
+  the bucket's base size (bootstrap, small tables) the policy degenerates to
+  inline compaction = the old copy-on-write plan, with no extra delta write.
 - **exactly-once via commit metadata**: the snapshot summary records the last
   committed streaming batch id (and per-source-partition offsets); replaying
   an already-committed batch is a no-op. (Iceberg: snapshot summary props —
@@ -40,6 +53,34 @@ VERSION_HINT = "version-hint.txt"
 # LWW version + tombstone flag (kept so out-of-order events arriving in later
 # batches can never resurrect a deleted row).
 META_COLS = ("_bucket", "_ts", "_event_seq", "_deleted")
+
+KEY_COLS = ("conv_id", "turn_idx")
+
+
+def lww_fold(df: DataFrame, key_cols: tuple[str, ...] = KEY_COLS) -> DataFrame:
+    """Last-writer-wins reduce per key via ``max_by`` over the version struct
+    ``(_ts, _event_seq)``. Deliberately an *aggregate*, not a window
+    ``row_number``: Catalyst's hash aggregate does map-side partial combine,
+    so hot keys collapse before the shuffle (the skew-immune LWW). Shared by
+    the merge, the read-side delta fold, and compaction — associativity of
+    max_by is what makes merge-on-read equal to eager copy-on-write."""
+    others = [c for c in df.columns if c not in key_cols]
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*others), F.struct(F.col("_ts"), F.col("_event_seq"))
+            ).alias("_r")
+        )
+        .select(*key_cols, "_r.*")
+    )
+
+
+def _pq_rows(path: str) -> int:
+    """Row count from the parquet footer — driver-side metadata read, no job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 class SnapshotLakeTable:
@@ -69,11 +110,16 @@ class SnapshotLakeTable:
             return {
                 "version": 0,
                 "files": {},
+                "deltas": {},
+                "filestats": {},
                 "schema": None,
                 "summary": {"last_batch_id": -1, "offsets": {}},
             }
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return json.load(f)
+            snap = json.load(f)
+        snap.setdefault("deltas", {})
+        snap.setdefault("filestats", {})
+        return snap
 
     def commit(self, snap: dict) -> int:
         """Atomically publish a new snapshot (write-then-rename)."""
@@ -103,26 +149,38 @@ class SnapshotLakeTable:
         s = self.snapshot().get("schema")
         return T.StructType.fromJson(s) if s else None
 
-    def read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame | None:
-        """Scan only the data files of the given buckets (file pruning)."""
+    def read_raw(
+        self, spark: SparkSession, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Scan base + delta files of the given buckets (file pruning), WITHOUT
+        the LWW fold — a key may appear once per delta file. Callers fold."""
         snap = self.snapshot()
+        sel = range(self.n_buckets) if buckets is None else buckets
         paths = [
             os.path.join(self.root, p)
-            for b in buckets
-            for p in snap["files"].get(str(b), [])
+            for b in sel
+            for p in snap["files"].get(str(b), []) + snap["deltas"].get(str(b), [])
         ]
         if not paths:
             return None
         return spark.read.schema(self.schema()).parquet(*paths)
 
+    # merge.py's historical name for the pre-merge scan of affected buckets
+    read_buckets = read_raw
+
+    def has_deltas(self) -> bool:
+        return any(ps for ps in self.snapshot()["deltas"].values())
+
     def read(self, spark: SparkSession, include_meta: bool = False) -> DataFrame:
-        """Current table state (public view: tombstones filtered, meta hidden)."""
-        snap = self.snapshot()
-        all_paths = [os.path.join(self.root, p) for ps in snap["files"].values() for p in ps]
-        if not all_paths:
+        """Current table state (public view: tombstones filtered, meta hidden).
+        Base files are key-unique by construction; the LWW fold runs only when
+        un-compacted delta files exist (merge-on-read)."""
+        df = self.read_raw(spark)
+        if df is None:
             schema = self.schema() or T.StructType([])
             return spark.createDataFrame([], schema)
-        df = spark.read.schema(self.schema()).parquet(*all_paths)
+        if self.has_deltas():
+            df = lww_fold(df)
         if include_meta:
             return df
         public = [c for c in df.columns if c not in META_COLS]
@@ -130,13 +188,15 @@ class SnapshotLakeTable:
 
     # -- writes ---------------------------------------------------------------
 
-    def write_files(self, df: DataFrame, buckets: list[int]) -> tuple[str, dict]:
+    def write_files(self, df: DataFrame, buckets: list[int]) -> tuple[str, dict, dict]:
         """Materialize ``df`` (must contain ``_bucket``) as uncommitted data
-        files, laid out per bucket. Returns ``(out_rel, files_by_bucket)``.
-        Nothing is visible to readers until :meth:`commit_files` — the
-        write/commit split lets an optimistic merge validate the batch (e.g.
-        the schema-anomaly observation) AFTER the files exist and abort
-        without a trace (Iceberg's uncommitted-snapshot discipline)."""
+        files, laid out per bucket. Returns ``(out_rel, files_by_bucket,
+        filestats)`` where filestats maps each new relpath to its
+        ``{"bytes", "rows"}`` (parquet-footer metadata, driver-side, no job).
+        Nothing is visible to readers until a commit — the write/commit split
+        lets an optimistic merge validate the batch (e.g. the schema-anomaly
+        observation) AFTER the files exist and abort without a trace
+        (Iceberg's uncommitted-snapshot discipline)."""
         prev = self.snapshot()
         out_rel = os.path.join("data", f"w{prev['version'] + 1}-{uuid.uuid4().hex[:8]}")
         out_abs = os.path.join(self.root, out_rel)
@@ -150,14 +210,18 @@ class SnapshotLakeTable:
             .parquet(out_abs)
         )
         new_files: dict[str, list[str]] = {str(b): [] for b in buckets}
+        stats: dict[str, dict] = {}
         for bdir in os.listdir(out_abs):
             if not bdir.startswith("_bp="):
                 continue
             b = bdir.split("=", 1)[1]
             for fn in os.listdir(os.path.join(out_abs, bdir)):
                 if fn.endswith(".parquet"):
-                    new_files.setdefault(b, []).append(os.path.join(out_rel, bdir, fn))
-        return out_rel, new_files
+                    rel = os.path.join(out_rel, bdir, fn)
+                    new_files.setdefault(b, []).append(rel)
+                    ap = os.path.join(self.root, rel)
+                    stats[rel] = {"bytes": os.path.getsize(ap), "rows": _pq_rows(ap)}
+        return out_rel, new_files, stats
 
     def abort_files(self, out_rel: str) -> None:
         """Discard an uncommitted write (never referenced by any snapshot)."""
@@ -166,14 +230,29 @@ class SnapshotLakeTable:
         shutil.rmtree(os.path.join(self.root, out_rel), ignore_errors=True)
 
     def commit_files(
-        self, buckets: list[int], new_files: dict, schema_json: dict, summary: dict
+        self,
+        buckets: list[int],
+        new_files: dict,
+        schema_json: dict,
+        summary: dict,
+        filestats: dict | None = None,
     ) -> int:
+        """Replace the given buckets' BASE files (their deltas, now folded in,
+        are dropped); all other buckets carry forward unchanged."""
         prev = self.snapshot()
-        files = {
-            b: ps for b, ps in prev["files"].items() if int(b) not in set(buckets)
-        }
+        replaced = set(buckets)
+        files = {b: ps for b, ps in prev["files"].items() if int(b) not in replaced}
+        deltas = {b: ps for b, ps in prev["deltas"].items() if int(b) not in replaced}
         files.update(new_files)
-        return self.commit({"files": files, "schema": schema_json, "summary": summary})
+        kept = {p for ps in files.values() for p in ps} | {
+            p for ps in deltas.values() for p in ps
+        }
+        fs = {p: s for p, s in prev["filestats"].items() if p in kept}
+        fs.update(filestats or {})
+        return self.commit(
+            {"files": files, "deltas": deltas, "filestats": fs,
+             "schema": schema_json, "summary": summary}
+        )
 
     def write_buckets(
         self,
@@ -183,5 +262,105 @@ class SnapshotLakeTable:
         summary: dict,
     ) -> int:
         """Write + commit in one step (bootstrap / non-optimistic callers)."""
-        _out_rel, new_files = self.write_files(df, buckets)
-        return self.commit_files(buckets, new_files, schema_json, summary)
+        _out_rel, new_files, stats = self.write_files(df, buckets)
+        return self.commit_files(buckets, new_files, schema_json, summary, stats)
+
+    # -- merge-on-read ----------------------------------------------------------
+
+    def bucket_stats(self) -> dict[int, dict]:
+        """Per-bucket ``{base_rows, delta_rows, delta_files}`` from the
+        manifest — the compaction policy's inputs, zero I/O."""
+        snap = self.snapshot()
+        fs = snap["filestats"]
+        out: dict[int, dict] = {}
+        for b in range(self.n_buckets):
+            base = snap["files"].get(str(b), [])
+            deltas = snap["deltas"].get(str(b), [])
+            out[b] = {
+                "base_rows": sum(fs.get(p, {}).get("rows", 0) for p in base),
+                "delta_rows": sum(fs.get(p, {}).get("rows", 0) for p in deltas),
+                "delta_files": len(deltas),
+            }
+        return out
+
+    def plan_compaction(
+        self,
+        batch_rows_by_bucket: dict[int, int],
+        ratio: float = 0.5,
+        max_delta_files: int = 8,
+    ) -> tuple[list[int], list[int]]:
+        """Split the batch's buckets into (compact-inline, merge-on-read).
+
+        Compact bucket ``b`` now iff pending rows (this batch + accumulated
+        deltas) ≥ ``ratio`` · base rows, or the delta-file count would exceed
+        ``max_delta_files`` (bounds read fan-in). Amortized analysis: a
+        compaction costing O(base + delta) runs only once per ≥ ratio·base
+        delta rows, so per-delta-row cost ≤ 1 + 1/ratio — write amplification
+        is a constant, independent of table size. Small tables / bootstrap
+        (base ≈ 0) always compact inline, which IS the copy-on-write plan —
+        no delta write, no extra shuffle."""
+        stats = self.bucket_stats()
+        cow: list[int] = []
+        mor: list[int] = []
+        for b, n in sorted(batch_rows_by_bucket.items()):
+            s = stats.get(b) or {"base_rows": 0, "delta_rows": 0, "delta_files": 0}
+            pending = n + s["delta_rows"]
+            if (
+                s["base_rows"] == 0
+                or pending >= ratio * s["base_rows"]
+                or s["delta_files"] + 1 > max_delta_files
+            ):
+                cow.append(b)
+            else:
+                mor.append(b)
+        return cow, mor
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> int:
+        """Maintenance compaction: fold base ∪ deltas of the given buckets
+        (default: every bucket holding deltas) into fresh key-unique base
+        files. State-preserving (same LWW fold the readers apply); tombstones
+        are kept so late out-of-order events still cannot resurrect rows."""
+        snap = self.snapshot()
+        todo = [
+            b for b in (range(self.n_buckets) if buckets is None else buckets)
+            if snap["deltas"].get(str(b))
+        ]
+        if not todo:
+            return self.current_version()
+        raw = self.read_raw(spark, todo)
+        _, new_files, stats = self.write_files(
+            lww_fold(raw).hint("rebalance", "_bucket"), todo
+        )
+        return self.commit_merge(
+            todo, new_files, {}, stats, snap["schema"], snap["summary"]
+        )
+
+    def commit_merge(
+        self,
+        cow_buckets: list[int],
+        cow_files: dict,
+        mor_files: dict,
+        filestats: dict,
+        schema_json: dict,
+        summary: dict,
+    ) -> int:
+        """One atomic commit for a mixed merge: ``cow_buckets`` get their base
+        replaced and deltas cleared (they were folded into the new base);
+        ``mor_files`` are APPENDED to their buckets' delta lists."""
+        prev = self.snapshot()
+        files = dict(prev["files"])
+        deltas = dict(prev["deltas"])
+        fs = dict(prev["filestats"])
+        for b in cow_buckets:
+            for p in files.get(str(b), []) + deltas.get(str(b), []):
+                fs.pop(p, None)
+            files[str(b)] = cow_files.get(str(b), [])
+            deltas[str(b)] = []
+        for b, ps in mor_files.items():
+            if ps:
+                deltas[str(b)] = deltas.get(str(b), []) + ps
+        fs.update(filestats)
+        return self.commit(
+            {"files": files, "deltas": deltas, "filestats": fs,
+             "schema": schema_json, "summary": summary}
+        )

@@ -17,14 +17,19 @@ Per batch:
    so a hot conv_id collapses to ≤ one row per mapper before the shuffle —
    the window formulation would ship every hot-key row to a single
    partition. This is the skew-immune formulation of LWW.
-5. **Version-guarded MERGE** — union with the affected buckets' current
-   rows and take the LWW max again; a row only changes if the incoming
-   version ``(ts, event_seq)`` is newer, so replays converge (idempotent
-   MERGE). Deletes are kept as tombstones so an out-of-order update arriving
-   in a *later* batch can never resurrect a deleted row. With an Iceberg
-   catalog on the classpath this step becomes ``MERGE INTO ... WHEN MATCHED
-   AND (s.ts, s.event_seq) > (t.ts, t.event_seq) THEN UPDATE ...``; the
-   surrounding pipeline is identical.
+5. **Version-guarded MERGE, per-bucket CoW/MoR** — for buckets where the
+   batch rivals the base size, union with the bucket's current rows and take
+   the LWW max again (compact-inline / copy-on-write); for buckets where the
+   batch is a sliver of the base, append the LWW-deduped slice as a DELTA
+   file (merge-on-read) and let readers/compaction fold it — so per-batch
+   write cost is O(batch), not O(table) (``lake.plan_compaction``). Either
+   way a row only changes if the incoming version ``(ts, event_seq)`` is
+   newer, so replays converge (idempotent MERGE). Deletes are kept as
+   tombstones so an out-of-order update arriving in a *later* batch can
+   never resurrect a deleted row. With an Iceberg catalog on the classpath
+   this becomes ``MERGE INTO ... WHEN MATCHED AND (s.ts, s.event_seq) >
+   (t.ts, t.event_seq) THEN UPDATE ...`` (CoW) / v2 equality-deletes (MoR);
+   the surrounding pipeline is identical.
 6. **Salted write repartition** — the rewrite shuffles on ``(_bucket,
    salt)`` rather than ``_bucket`` alone: a hot conv_id concentrates a
    bucket, and one-task-per-bucket would serialize it. Salting fans each
@@ -245,18 +250,24 @@ def merge_batch(
         (F.col("op") == "D").alias("_deleted"),
     )
 
-    # (4)+(5) LWW dedup fused with the version-guarded merge: one max_by
-    # aggregate over (existing ∪ batch) both dedups the batch AND applies the
-    # version guard — a single shuffle where window-row_number + join would
-    # take three. (A real Iceberg MERGE INTO sink needs the separate in-batch
-    # ``_lww(upserts, ...)`` pass first, since MERGE requires one source row
-    # per key; our lake merge IS the LWW aggregate, so it's fused.)
-    existing = table.read_buckets(spark, affected)
-    if existing is not None:
-        merged_in = align_to(existing, full).unionByName(align_to(upserts, full))
-        final = _lww(merged_in, [f.name for f in full.fields])
-    else:
-        final = _lww(align_to(upserts, full), [f.name for f in full.fields])
+    # (4)+(5) Per-bucket write strategy (merge-on-read vs compact-inline),
+    # decided from the pre-pass lineage grid + the manifest, zero extra I/O.
+    # A bucket whose pending rows (batch + accumulated deltas) rival its base
+    # gets COMPACTED INLINE: one max_by aggregate over (base ∪ deltas ∪ batch)
+    # both dedups and applies the version guard — the copy-on-write plan, one
+    # shuffle. A bucket where the batch is a sliver of the base gets a DELTA
+    # APPEND: the batch slice is LWW-deduped and written as a new delta file,
+    # cost O(batch slice); the fold happens at read/compaction (lake.lww_fold,
+    # same aggregate — max_by associativity makes the two paths equal). This
+    # keeps per-batch write cost tracking the BATCH, not the table: with
+    # Zipf-skewed feeds every batch touches ~every bucket, so the old
+    # rewrite-all-affected-buckets plan was O(table) per batch at 10^10 rows.
+    # (A real Iceberg sink maps cow→copy-on-write MERGE, mor→v2 merge-on-read
+    # positional/equality deletes; cdc/iceberg.py.)
+    batch_rows_by_bucket: dict[int, int] = {}
+    for r in lineage_cells:
+        batch_rows_by_bucket[r["_b"]] = batch_rows_by_bucket.get(r["_b"], 0) + r["events"]
+    cow, mor = table.plan_compaction(batch_rows_by_bucket)
 
     # (7b) fold lineage into the snapshot summary
     lineage = {
@@ -278,10 +289,31 @@ def merge_batch(
     # cores at any batch size. (``write_salt`` retained for API compat; the
     # skew fan-out is adaptive now.)
     if _DEBUG:
-        print(f"[merge {batch_id}] plan-built {time.perf_counter() - t0:.1f}s")
-    table.write_buckets(
-        final.hint("rebalance", "_bucket"),
-        affected,
+        print(f"[merge {batch_id}] plan-built cow={len(cow)} mor={len(mor)} "
+              f"{time.perf_counter() - t0:.1f}s")
+    cols = [f.name for f in full.fields]
+    cow_files: dict = {}
+    mor_files: dict = {}
+    stats: dict = {}
+    if cow:
+        existing = table.read_raw(spark, cow)
+        part = align_to(upserts.filter(F.col("_bucket").isin(cow)), full)
+        merged_in = part if existing is None else align_to(existing, full).unionByName(part)
+        _, cow_files, s = table.write_files(
+            _lww(merged_in, cols).hint("rebalance", "_bucket"), cow
+        )
+        stats.update(s)
+    if mor:
+        part = align_to(upserts.filter(F.col("_bucket").isin(mor)), full)
+        _, mor_files, s = table.write_files(
+            _lww(part, cols).hint("rebalance", "_bucket"), mor
+        )
+        stats.update(s)
+    table.commit_merge(
+        cow,
+        cow_files,
+        mor_files,
+        stats,
         full.jsonValue(),
         {
             "last_batch_id": batch_id,
@@ -298,6 +330,8 @@ def merge_batch(
         "skipped": False,
         "events": n_events,
         "affected_buckets": len(affected),
+        "compacted_buckets": len(cow),
+        "delta_buckets": len(mor),
         "lineage": lineage,
         "elapsed_sec": elapsed,
         "events_per_sec": n_events / elapsed if elapsed > 0 else 0.0,

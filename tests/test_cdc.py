@@ -250,6 +250,41 @@ def test_schema_fits_probe_detects_anomalies(spark):
     assert not schema_fits_probe(fits, None)  # no table schema yet → must infer
 
 
+def test_mor_delta_path_and_compaction(spark, tmp_path):
+    """Merge-on-read: when batches are slivers of a big base table, merges
+    must append delta files (cost O(batch)) instead of rewriting buckets;
+    the read-side LWW fold must still reproduce the exact pandas event-log
+    fold, the delta-file cap must trigger inline compaction, and maintenance
+    compact() must be state-preserving."""
+    d = tmp_path / "mor"
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=3000, max_turns=12, seed=11)
+    feed_paths = feedgen.gen_change_feed(
+        str(d / "feed"), n_events=1200, n_convs=3000, max_turns=12, n_files=12, seed=11
+    )
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+
+    metrics = replay_batches(spark, table, str(d / "feed"), files_per_batch=1)
+    assert len(metrics) == 12
+    # early batches: ~100 events over a ~19k-row base → every bucket takes the
+    # delta path; the max_delta_files cap (8) must force a compaction later
+    assert metrics[0]["delta_buckets"] > 0 and metrics[0]["compacted_buckets"] == 0
+    assert any(m["compacted_buckets"] > 0 for m in metrics[8:])
+
+    expected = fold(
+        pd.read_parquet(base),
+        pd.concat([pd.read_parquet(p) for p in feed_paths], ignore_index=True),
+    )
+    _assert_state_equal(_actual(spark, table), expected)
+
+    # maintenance compaction folds deltas into key-unique base files without
+    # changing visible state
+    assert table.has_deltas()
+    table.compact(spark)
+    assert not table.has_deltas()
+    _assert_state_equal(_actual(spark, table), expected)
+
+
 def test_widening_only_batch_does_not_poison_merge(spark, tmp_path):
     """A batch whose ONLY anomaly is numeric widening (turn_idx beyond int32,
     no new columns) must route through Arrow inference and merge cleanly.
