@@ -91,6 +91,34 @@ def create_table_sql(table: str, value_cols: dict[str, str], n_buckets: int = 64
     )
 
 
+def mor_table_properties_sql(table: str, compact_ratio: float = 0.5) -> list[str]:
+    """Iceberg v2 merge-on-read — the production twin of the snapshot lake's
+    per-bucket CoW/MoR split (``lake.plan_compaction``): MERGE writes
+    positional/equality delete files instead of rewriting data files, and a
+    maintenance ``rewrite_data_files`` compacts when deletes accumulate —
+    the same delta-ratio trigger, expressed as Iceberg table properties +
+    a stored-procedure call."""
+    return [
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        "'format-version' = '2', "
+        "'write.merge.mode' = 'merge-on-read', "
+        "'write.update.mode' = 'merge-on-read', "
+        "'write.delete.mode' = 'merge-on-read')",
+    ]
+
+
+def compact_sql(catalog: str, table: str, compact_ratio: float = 0.5) -> str:
+    """Maintenance compaction (the lake's ``compact()``): rewrite data files
+    merging accumulated delete files, bin-packed to the target file size.
+    ``delete-file-threshold`` plays the role of the delta-file cap."""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{table}', "
+        "options => map('delete-file-threshold', '8', "
+        "'min-input-files', '2'))"
+    )
+
+
 def merge_batch_iceberg(
     spark: SparkSession,
     table: str,

@@ -76,6 +76,18 @@ def lww_fold(df: DataFrame, key_cols: tuple[str, ...] = KEY_COLS) -> DataFrame:
     )
 
 
+def suggest_n_buckets(est_table_bytes: int, target_bucket_bytes: int = 256 << 20) -> int:
+    """Bucket count sized to the table (power of two ≥ bytes/target): keeps
+    base files in the 128-512 MB sweet spot as the table grows, so compaction
+    granularity and scan parallelism track data volume — at 10^10 rows
+    (~5 TB of transcript text) this yields ~16k buckets instead of a fixed
+    16. Used by the runner CLI when ``--buckets 0`` (auto)."""
+    import math
+
+    need = max(est_table_bytes // target_bucket_bytes, 1)
+    return max(1 << math.ceil(math.log2(need)), 4)
+
+
 def _pq_rows(path: str) -> int:
     """Row count from the parquet footer — driver-side metadata read, no job."""
     import pyarrow.parquet as pq

@@ -126,14 +126,22 @@ def main() -> None:
     ap.add_argument("--base", help="base conversations parquet to bootstrap from")
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint")
-    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="0 = auto-size from the base table bytes "
+                         "(lake.suggest_n_buckets, ~256MB/bucket)")
     ap.add_argument("--files-per-batch", type=int, default=4)
     args = ap.parse_args()
 
     from palimpzest_spark.session import get_spark
 
     spark = get_spark(app_name="cdc_replay")
-    table = SnapshotLakeTable(args.table, n_buckets=args.buckets)
+    n_buckets = args.buckets
+    if n_buckets == 0:
+        from palimpzest_spark.cdc.lake import suggest_n_buckets
+
+        est = os.path.getsize(args.base) * 3 if args.base else 1 << 30
+        n_buckets = suggest_n_buckets(est)
+    table = SnapshotLakeTable(args.table, n_buckets=n_buckets)
     if args.base and table.current_version() == 0:
         bootstrap(spark, table, args.base)
     if args.stream:

@@ -107,6 +107,15 @@ class Dataset:
              broadcast_right: bool = False) -> "Dataset":
         return self._wrap(relational_join(self.df, other.df, on, how, broadcast_right))
 
+    def asof_join(self, other: "Dataset", on: list[str], left_ts: str,
+                  right_ts: str, direction: str = "backward") -> "Dataset":
+        """Time-travel join (missing in both the reference and core Spark —
+        SURVEY §2.3): latest right row at-or-before (or earliest at-or-after)
+        each left row's timestamp, per key."""
+        from palimpzest_spark.operators.join import asof_join
+
+        return self._wrap(asof_join(self.df, other.df, on, left_ts, right_ts, direction))
+
     def project(self, cols: list[str]) -> "Dataset":
         return self._wrap(project_records(self.df, cols))
 
@@ -159,15 +168,34 @@ class Dataset:
         schema = T.StructType([T.StructField(output_field, T.StringType())])
         return self._wrap(map_records(self.df, fn, schema))
 
-    def sem_join(self, other: "Dataset", condition: str) -> "Dataset":
+    def sem_join(
+        self,
+        other: "Dataset",
+        condition: str,
+        block_on: list[str] | None = None,
+        max_unblocked_pairs: int = 10_000_000,
+    ) -> "Dataset":
         """NL theta-join (``dataset.py:269-290``) → crossJoin + boolean
-        inference UDF + filter (the reference's NestedLoopsJoin shape)."""
+        inference UDF + filter (the reference's NestedLoopsJoin shape).
+
+        The reference's semantics are full N×M; an unblocked call at scale is
+        a cartesian bomb, so it is guarded like ``embedding_join``: above
+        ``max_unblocked_pairs`` estimated pairs the call refuses unless
+        ``block_on`` (equi-keys or an LSH bucket column) bounds the space."""
         raw = self._sem(condition)
+        if not block_on:
+            n_l, n_r = self.df.count(), other.df.count()
+            if n_l * n_r > max_unblocked_pairs:
+                raise ValueError(
+                    f"sem_join without block_on would build {n_l}x{n_r} = "
+                    f"{n_l * n_r:,} pairs (> {max_unblocked_pairs:,}); pass "
+                    "block_on=[...] or raise max_unblocked_pairs explicitly"
+                )
         lnames = set(self.df.columns)
         r = other.df
-        for c in [c for c in r.columns if c in lnames]:
+        for c in [c for c in r.columns if c in lnames and (not block_on or c not in block_on)]:
             r = r.withColumnRenamed(c, c + "_right")
-        crossed = self.df.crossJoin(r)
+        crossed = self.df.join(r, on=block_on) if block_on else self.df.crossJoin(r)
 
         def pred(batch: pd.DataFrame) -> pd.Series:
             return raw(batch) % 2 == 0

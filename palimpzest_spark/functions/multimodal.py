@@ -6,12 +6,12 @@ The reference routes modalities through string aliases (ImageBase64 etc.,
 ``binary`` column plus typed metadata, and all processing is Arrow-batched
 ``mapInPandas`` over those bytes.
 
-This container has no image/audio libraries, so the actual byte decoders are
-STUBBED: ``decode=fake`` produces a deterministic feature vector from the
-bytes (so the distributed plumbing — schema, partition sizing, UDF batch
-shape — is real and tested end-to-end); ``decode=real`` raises
-``NotImplementedError`` with the dependency it needs. Swapping in a real
-decoder changes ONE function, not the plan.
+Image decode is REAL for PNG via the stdlib codec (``sources/png_lite.py`` —
+8-bit grey/RGB/RGBA, all five scanline filters): ``decode="image"`` yields
+pixel-statistics features and ``image_metadata`` fills width/height from
+IHDR without inflating. Audio/video decode genuinely needs absent libraries
+(librosa/ffmpeg): ``decode="real"`` raises naming them, and ``decode="fake"``
+keeps a deterministic byte-hash vector so that plumbing stays tested.
 """
 
 from __future__ import annotations
@@ -62,6 +62,27 @@ def _fake_features(buf: bytes | None, dim: int) -> list[float]:
     return (v / np.linalg.norm(v)).tolist()
 
 
+def _png_features(buf: bytes, dim: int) -> list[float] | None:
+    """Real pixel-statistics embedding for PNG bytes: [w, h, ch, per-channel
+    mean/std, luma histogram] padded/truncated to ``dim``. None if not a
+    decodable PNG (caller falls back to the byte-hash stub)."""
+    from palimpzest_spark.sources.png_lite import decode_png
+
+    try:
+        w, h, ch, px = decode_png(buf)
+    except Exception:
+        return None
+    p = px.astype(np.float64)
+    feats = [float(w), float(h), float(ch)]
+    for c in range(ch):
+        feats.append(float(p[:, :, c].mean()) / 255.0)
+        feats.append(float(p[:, :, c].std()) / 255.0)
+    luma = p.mean(axis=2).reshape(-1)
+    hist, _ = np.histogram(luma, bins=max(dim - len(feats), 1), range=(0.0, 255.0))
+    feats.extend((hist / max(luma.size, 1)).tolist())
+    return (feats + [0.0] * dim)[:dim]
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 16,
@@ -70,30 +91,65 @@ def extract_features(
 ) -> DataFrame:
     """binary → feature vector via Arrow-batched ``mapInPandas``.
 
-    ``decode="real"`` is the integration point for PIL/librosa/ffmpeg — not
-    installed in this container, so it raises with guidance.
+    ``decode="image"``: REAL decode for PNG bytes (stdlib codec), byte-hash
+    fallback for other formats. ``decode="fake"``: deterministic byte-hash
+    vector. ``decode="real"`` names the audio/video dependency gap.
     """
     if decode == "real":
         raise NotImplementedError(
-            "real media decoding needs PIL/librosa/ffmpeg, none of which are "
-            "in this container; use decode='fake' for plumbing tests and "
-            "swap this branch on a cluster image that ships them"
+            "audio/video decoding needs librosa/ffmpeg (absent in this "
+            "container); PNG images decode for real via decode='image' "
+            "(sources/png_lite.py) — swap this branch on a cluster image "
+            "that ships the media codecs"
         )
-
-    out_fields = df.schema.fieldNames()
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_features(None if b is None else bytes(b), dim)
-                for b in pdf[content_col]
-            ]
+            feats = []
+            for b in pdf[content_col]:
+                buf = None if b is None else bytes(b)
+                v = _png_features(buf, dim) if (decode == "image" and buf) else None
+                feats.append(v if v is not None else _fake_features(buf, dim))
             yield pdf.assign(features=pd.Series(feats, index=pdf.index))
 
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.DoubleType()))]
     )
     return df.mapInPandas(compute, schema=schema)
+
+
+def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Fill width/height/channels for PNG assets from IHDR alone (no
+    inflate — O(1) per file regardless of image size)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palimpzest_spark.sources.png_lite import png_metadata
+
+        for pdf in batches:
+            ws, hs, cs = [], [], []
+            for b in pdf[content_col]:
+                meta = png_metadata(bytes(b)) if b is not None else None
+                w, h, c = meta if meta else (None, None, None)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+            yield pdf.assign(
+                width=pd.array(ws, dtype="Int32"),
+                height=pd.array(hs, dtype="Int32"),
+                channels=pd.array(cs, dtype="Int32"),
+            )
+
+    base = [f for f in df.schema.fields if f.name not in ("width", "height", "channels")]
+    schema = T.StructType(
+        base
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in base]
+    return df.select(*cols).mapInPandas(compute, schema=schema)
 
 
 def sample_frames(

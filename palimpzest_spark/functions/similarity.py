@@ -123,6 +123,63 @@ def lsh_top_k(
     )
 
 
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> None:
+    """Materialize the corpus partitioned BY ITS LSH BUCKET — the 100 TB
+    probe path: ``lsh_top_k``'s bucket scan becomes parquet partition
+    pruning, so a query touches (multiprobe count)/2^bits of the files
+    instead of scanning everything. Hyperplanes are derived from (dim, bits,
+    seed), so readers regenerate them — nothing else to persist."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    (
+        corpus.withColumn("_bkt", lsh_bucket_col(vec_col, planes))
+        .write.mode("overwrite")
+        .partitionBy("_bkt")
+        .parquet(path)
+    )
+
+
+def lsh_top_k_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    bits: int = 8,
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a ``write_lsh_index`` layout: the bucket
+    predicate is a partition filter (check PartitionFilters in .explain) —
+    only the probed buckets' files are read."""
+    planes = hyperplanes(len(query), bits, seed)
+    qsigns = (planes @ np.asarray(query)) > 0
+    qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
+    probes = {qbucket}
+    if multiprobe_hamming >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(bits)}
+    if multiprobe_hamming >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        }
+    cand = spark.read.parquet(path).filter(F.col("_bkt").isin(sorted(probes)))
+    return (
+        cand.withColumn("similarity", cosine_similarity_col(vec_col, query))
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+        .drop("_bkt")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -7,13 +7,14 @@ inlining, PDF→text via pypdf, XLS→per-sheet rows, image/audio→base64).
 Spark-first: directory listings become distributed scans —
 ``spark.read.text`` (wholetext) for text-likes, ``binaryFile`` for bytes —
 so a million-file corpus parallelizes by file without driver involvement.
-Parsers run as Arrow-batched ``mapInPandas``. PDF/XLS/audio decoders need
-libraries this container doesn't ship (pypdf/openpyxl/librosa); those
-parse steps raise ``NotImplementedError`` with the dependency named, while
-the scan+schema+batching plumbing stays real and tested (same policy as
-``functions/multimodal.py``). HTML→text is implemented for real (stdlib
-``html.parser``), matching ``iter_dataset.py:216-281`` semantics: scripts
-and styles dropped, links inlined as ``text (href)``.
+Parsers run as Arrow-batched ``mapInPandas`` and are REAL with stdlib-only
+implementations: HTML→text via ``html.parser`` (scripts/styles dropped,
+links inlined as ``text (href)``, ``iter_dataset.py:216-281``); PDF→text via
+``sources/pdf_lite.py`` (uncompressed + FlateDecode content streams);
+XLSX→per-sheet header+rows via ``sources/xlsx_lite.py`` (SpreadsheetML over
+``zipfile`` + ``xml.etree``). Only full-fidelity variants that genuinely
+need absent libraries (pypdf CMap fonts, xlrd legacy .xls, librosa audio
+decode) stay gated behind ``NotImplementedError`` naming the dependency.
 """
 
 from __future__ import annotations
@@ -101,26 +102,31 @@ def binary_files(spark: SparkSession, path: str, glob: str | None = None) -> Dat
     )
 
 
-def pdf_files(spark: SparkSession, path: str, parser: str = "stub") -> DataFrame:
-    """PDF → text (``iter_dataset.py:326-382``). Real parsing needs pypdf
-    (not in this container): ``parser="pypdf"`` raises with guidance;
-    ``parser="stub"`` emits a deterministic placeholder so the distributed
-    plumbing is exercised end-to-end."""
+def pdf_files(spark: SparkSession, path: str, parser: str = "lite") -> DataFrame:
+    """PDF → (filename, text contents), ``iter_dataset.py:326-382``.
+
+    ``parser="lite"`` (default) extracts real text with the stdlib-only
+    extractor (``sources/pdf_lite.py`` — uncompressed + FlateDecode content
+    streams, the digitally-born-PDF common case). ``parser="pypdf"`` names
+    the full-fidelity dependency this container lacks (CMap fonts, object
+    streams); swap one import on a cluster image that ships it."""
     raw = binary_files(spark, path, glob="*.pdf")
     if parser == "pypdf":
         raise NotImplementedError(
-            "PDF text extraction needs pypdf, which this container does not "
-            "ship; run with parser='stub' here, or install pypdf on the "
-            "cluster image and swap the stub body for pypdf.PdfReader"
+            "full-fidelity PDF parsing needs pypdf (absent in this container); "
+            "parser='lite' handles uncompressed/FlateDecode text streams with "
+            "the stdlib extractor in sources/pdf_lite.py"
         )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palimpzest_spark.sources.pdf_lite import extract_pdf_text
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "filename": pdf["filename"],
                     "contents": [
-                        f"[pdf-stub len={0 if b is None else len(b)}]"
+                        "" if b is None else extract_pdf_text(bytes(b))
                         for b in pdf["content"]
                     ],
                 }
@@ -131,25 +137,48 @@ def pdf_files(spark: SparkSession, path: str, parser: str = "stub") -> DataFrame
     )
 
 
-def xls_files(spark: SparkSession, path: str, parser: str = "stub") -> DataFrame:
-    """XLS → one row per sheet (``iter_dataset.py:425-469``); openpyxl gated."""
+def xls_files(spark: SparkSession, path: str, parser: str = "lite") -> DataFrame:
+    """XLS → one row per sheet with real cell data, ``iter_dataset.py:425-469``
+    semantics (sheet enumeration) + ``utils/udfs.py:34-56`` (per-sheet header
+    + stringified rows). ``parser="lite"`` (default) parses .xlsx with the
+    stdlib-only SpreadsheetML reader (``sources/xlsx_lite.py``); legacy
+    binary .xls needs xlrd and stays gated."""
     raw = binary_files(spark, path, glob="*.xls*")
-    if parser == "openpyxl":
+    if parser == "xlrd":
         raise NotImplementedError(
-            "XLS parsing needs openpyxl/xlrd (not in this container); "
-            "parser='stub' exercises the scan + per-sheet fan-out plumbing"
+            "legacy binary .xls needs xlrd (absent in this container); "
+            ".xlsx parses for real via parser='lite' (sources/xlsx_lite.py)"
         )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palimpzest_spark.sources.xlsx_lite import read_xlsx
+
         for pdf in batches:
             rows = []
             for fn, b in zip(pdf["filename"], pdf["content"]):
-                rows.append({"filename": fn, "sheet": "Sheet1",
-                             "contents": f"[xls-stub len={0 if b is None else len(b)}]"})
-            yield pd.DataFrame(rows, columns=["filename", "sheet", "contents"])
+                if b is None:
+                    continue
+                try:
+                    sheets = read_xlsx(bytes(b))
+                except Exception:
+                    sheets = []
+                for s in sheets:
+                    rows.append(
+                        {
+                            "filename": fn,
+                            "sheet": s["name"],
+                            "header": s["header"],
+                            "rows": s["rows"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["filename", "sheet", "header", "rows"]
+            )
 
     return raw.select("filename", "content").mapInPandas(
-        parse, schema="filename string, sheet string, contents string"
+        parse,
+        schema="filename string, sheet string, header array<string>, "
+        "rows array<array<string>>",
     )
 
 

@@ -1,0 +1,183 @@
+"""Stdlib-only PDF text extraction (no pypdf in this container).
+
+Covers the common case the reference's ``get_text_from_pdf``
+(``core/data/iter_dataset.py:326-382`` via pypdf) handles for digitally-born
+PDFs: page content streams that are uncompressed or FlateDecode-compressed
+(``zlib``), with text drawn through the standard operators
+
+- ``(string) Tj`` / ``(string) '``      — show text
+- ``[(a) -120 (b) ...] TJ``             — show with kerning (joined)
+- ``Td / TD / T* / ET``                 — line moves → newline
+
+String escapes ``\\( \\) \\\\ \\n \\r \\t`` and 3-digit octal are decoded;
+hex strings ``<48656c6c6f> Tj`` are supported. Out of scope (returns what it
+can): CMap/Identity-encoded fonts (TJ bytes are not char codes), object
+streams (``/ObjStm``), encryption. ``make_simple_pdf`` writes a small
+spec-shaped PDF (xref table, Flate-compressed content streams) so tests
+exercise the extractor against the real format.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_TEXT_SHOW_RE = re.compile(
+    rb"""
+    (?P<str>\((?:[^()\\]|\\.)*\))\s*(?:Tj|')      # (text) Tj   or  (text) '
+  | (?P<hex><[0-9A-Fa-f\s]*>)\s*Tj                # <hex> Tj
+  | (?P<arr>\[(?:[^\]\\]|\\.)*\])\s*TJ            # [(a) -1 (b)] TJ
+  | (?P<nl>T\*|TD|Td|ET)                          # line moves
+    """,
+    re.X,
+)
+_ARR_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Literal string body (without the outer parens) → text."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt.isdigit():  # up to 3 octal digits
+                j = i + 1
+                digits = b""
+                while j < len(raw) and raw[j : j + 1].isdigit() and len(digits) < 3:
+                    digits += raw[j : j + 1]
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+                continue
+            out += _ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _decode_hex_string(raw: bytes) -> str:
+    h = re.sub(rb"\s", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+
+
+def _content_text(stream: bytes) -> str:
+    parts: list[str] = []
+    for m in _TEXT_SHOW_RE.finditer(stream):
+        if m.group("str") is not None:
+            parts.append(_decode_pdf_string(m.group("str")[1:-1]))
+        elif m.group("hex") is not None:
+            parts.append(_decode_hex_string(m.group("hex")[1:-1]))
+        elif m.group("arr") is not None:
+            chunk = []
+            for sm in _ARR_STR_RE.finditer(m.group("arr")):
+                s = sm.group(0)
+                chunk.append(
+                    _decode_pdf_string(s[1:-1]) if s[:1] == b"(" else _decode_hex_string(s[1:-1])
+                )
+            parts.append("".join(chunk))
+        else:  # line move
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+    text = "".join(parts)
+    return re.sub(r"\n{2,}", "\n", text).strip()
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """All text drawn by the document's content streams, page order =
+    stream order. Non-Flate filters are skipped (their text is not
+    recoverable without the codec); malformed streams are skipped."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(data, pos)
+        if not m:
+            break
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end == -1:
+            break
+        pos = end + len(b"endstream")
+        body = data[start:end].rstrip(b"\r\n")
+        params = m.group(1)
+        if b"/FlateDecode" in params:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        elif b"/Filter" in params:
+            continue  # unsupported codec (DCT, LZW, ...)
+        if b"Tj" in body or b"TJ" in body or b"'" in body:
+            t = _content_text(body)
+            if t:
+                out.append(t)
+    return "\n\n".join(out)
+
+
+def make_simple_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """A minimal valid one-font PDF with one content stream per page —
+    spec-shaped (header, objects, xref, trailer) so the extractor's stream
+    discovery and Flate path are tested against real structure."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objs: list[bytes] = []
+
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    font_obj = 3 + 2 * n_pages
+    for i, text in enumerate(pages):
+        page_obj = 3 + 2 * i
+        stream_obj = page_obj + 1
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {stream_obj} 0 R "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> >>"
+            ).encode()
+        )
+        lines = text.split("\n")
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                ops.append("0 -14 Td")
+            ops.append(f"({esc(line)}) Tj")
+        ops.append("ET")
+        content = " ".join(ops).encode("latin-1")
+        if compress:
+            content = zlib.compress(content)
+            head = f"<< /Length {len(content)} /Filter /FlateDecode >>".encode()
+        else:
+            head = f"<< /Length {len(content)} >>".encode()
+        objs.append(head + b"\nstream\n" + content + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)

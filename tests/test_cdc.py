@@ -201,6 +201,15 @@ def test_iceberg_sql_generation_and_gate(spark, tmp_path):
         "ALTER TABLE t ADD COLUMN tool_args string"
     ]
 
+    # merge-on-read twin of lake.plan_compaction: v2 + MoR write modes,
+    # rewrite_data_files as the compaction trigger
+    props = I.mor_table_properties_sql("lake.conv")
+    assert any("'write.merge.mode' = 'merge-on-read'" in p for p in props)
+    assert any("'format-version' = '2'" in p for p in props)
+    call = I.compact_sql("lake", "lake.conv")
+    assert call.startswith("CALL lake.system.rewrite_data_files(")
+    assert "delete-file-threshold" in call
+
     assert not I.iceberg_available(spark)  # no jar in this container
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
