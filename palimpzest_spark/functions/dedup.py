@@ -124,6 +124,10 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+# gram-combiner constants (odd, < 2^20 so c*crc32 fits uint64 comfortably)
+_GRAM_C = (0x9E377, 0x85EBD, 0xC2B2B)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -132,29 +136,72 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature: array<long>) via vectorized numpy over Arrow batches."""
+    """(id, signature: array<long>) — fully vectorized over Arrow batches.
+
+    Hot-path design (this was the most expensive bench query in r1):
+    - crc32 per TOKEN (not per gram): gram hashes are a numpy combine of
+      shifted token-hash arrays (``c1*h[i] + c2*h[i+1] + c3*h[i+2] mod 2^32``)
+      — no per-gram string building, no per-doc set() (duplicate grams can't
+      change a min).
+    - the (num_perm × grams) permute-and-min runs once per sub-chunk of the
+      batch with ``np.minimum.reduceat`` over per-doc segment boundaries —
+      one matrix op instead of a Python loop per document. Sub-chunks cap the
+      matrix at ~32M elements so executor memory stays bounded.
+    crc32 is deterministic across processes (builtin hash() is salted by
+    PYTHONHASHSEED — never use it in distributed signatures).
+    """
     a_params, b_params = _perm_params(num_perm, seed)
+    cs = [np.uint64(c) for c in _GRAM_C[:shingle_n]]
+    max_cells = 32_000_000  # perm-matrix element cap per sub-chunk
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from zlib import crc32  # deterministic across processes, C-speed
-        # (builtin hash() is salted per-process by PYTHONHASHSEED — NEVER
-        # use it in distributed signatures)
+        from zlib import crc32
+
+        mask32 = np.uint64(0xFFFFFFFF)
+
+        def doc_grams(text: str) -> np.ndarray:
+            toks = text.split()
+            th = np.fromiter(
+                (crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            if len(th) >= shingle_n:
+                g = cs[0] * th[: len(th) - shingle_n + 1]
+                for k in range(1, shingle_n):
+                    g = g + cs[k] * th[k : len(th) - shingle_n + 1 + k]
+                return (g & mask32).astype(np.int64)
+            # short doc: a single gram over whatever tokens exist
+            g = np.uint64(0)
+            for k in range(len(th)):
+                g += cs[k] * th[k]
+            return np.array([int(g & mask32)], dtype=np.int64)
 
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col].fillna(""):
-                toks = text.split()
-                grams = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(max(len(toks) - shingle_n + 1, 1))
-                }
-                hh = np.fromiter(
-                    (crc32(g.encode()) for g in grams), dtype=np.int64, count=len(grams)
-                )
-                # (a*h + b) mod p for all perms at once: (P, S) matrix
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].fillna("").tolist()
+            sigs: list[list[int]] = []
+            grams_buf: list[np.ndarray] = []
+            bounds = [0]
+            n_grams = 0
+
+            def flush():
+                nonlocal grams_buf, bounds, n_grams
+                if not grams_buf:
+                    return
+                hh = np.concatenate(grams_buf)
                 m = (a_params[:, None] * hh[None, :] + b_params[:, None]) % _MERSENNE
-                sigs.append(m.min(axis=1).tolist())
-            yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
+                mins = np.minimum.reduceat(m, np.asarray(bounds[:-1]), axis=1)
+                sigs.extend(mins.T.tolist())
+                grams_buf, bounds, n_grams = [], [0], 0
+
+            for text in texts:
+                g = doc_grams(text)
+                grams_buf.append(g)
+                n_grams += len(g)
+                bounds.append(n_grams)
+                if n_grams * num_perm >= max_cells:
+                    flush()
+            flush()
+            yield pd.DataFrame({"id": ids, "signature": sigs})
 
     return df.select(id_col, text_col).mapInPandas(
         compute, schema="id long, signature array<long>"

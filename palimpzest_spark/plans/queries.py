@@ -267,6 +267,53 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-
 """
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer with null-fill on both sides (r1 left this join type with
+    no driver coverage): big-spender customers vs urgent-order customers."""
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    out = relational_join(big, urgent, on=["k"], how="full")
+    return out.select("k", "k_right", "n_big", "n_urgent")
+
+
+_JOIN_FULL_SQL = """
+SELECT b.k AS k, u.k AS k_right, n_big, n_urgent
+FROM (SELECT o_custkey AS k, count(*) AS n_big
+      FROM orders WHERE o_totalprice > 350000 GROUP BY 1) b
+FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n_urgent
+                 FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) u
+  ON b.k = u.k
+"""
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer (r1: implemented, untested by driver)."""
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = relational_join(big, cust, on=["c_custkey"], how="right")
+    return out.select("c_custkey", "c_custkey_right", "o_orderkey", "c_name")
+
+
+_JOIN_RIGHT_SQL = """
+SELECT b.k AS c_custkey, c.c_custkey AS c_custkey_right, o_orderkey, c_name
+FROM (SELECT o_custkey AS k, o_orderkey
+      FROM orders WHERE o_totalprice > 400000) b
+RIGHT JOIN customer c ON b.k = c.c_custkey
+"""
+
+
 def distinct_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DistinctOp (distinct.py:8-62) → dropDuplicates: partial map-side
     dedup then shuffle only distinct keys."""
@@ -334,6 +381,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer": join_left_outer,
     "join_semi": join_semi,
     "join_anti": join_anti,
+    "join_full_outer": join_full_outer,
+    "join_right_outer": join_right_outer,
     "distinct_op": distinct_op,
     "limit_op": limit_op,
     "topk_per_group": topk_per_group,
@@ -350,6 +399,8 @@ ORACLE_SQL: dict[str, str] = {
     "join_left_outer": _JOIN_LEFT_SQL,
     "join_semi": _JOIN_SEMI_SQL,
     "join_anti": _JOIN_ANTI_SQL,
+    "join_full_outer": _JOIN_FULL_SQL,
+    "join_right_outer": _JOIN_RIGHT_SQL,
     "distinct_op": _DISTINCT_SQL,
     "limit_op": _LIMIT_SQL,
     "topk_per_group": _TOPK_SQL,
