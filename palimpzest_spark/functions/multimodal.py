@@ -9,9 +9,13 @@ The reference routes modalities through string aliases (ImageBase64 etc.,
 Image decode is REAL for PNG via the stdlib codec (``sources/png_lite.py`` —
 8-bit grey/RGB/RGBA, all five scanline filters): ``decode="image"`` yields
 pixel-statistics features and ``image_metadata`` fills width/height from
-IHDR without inflating. Audio/video decode genuinely needs absent libraries
-(librosa/ffmpeg): ``decode="real"`` raises naming them, and ``decode="fake"``
-keeps a deterministic byte-hash vector so that plumbing stays tested.
+IHDR without inflating. Audio decode is REAL for RIFF/PCM WAV
+(``sources/wav_lite.py``): ``decode="audio"`` yields rms/zero-crossing/
+spectral features and ``audio_metadata`` fills rate/channels/duration from
+the header walk. Only compressed audio and video genuinely need absent
+libraries (ffmpeg/librosa): ``decode="real"`` raises naming them, and
+``decode="fake"`` keeps a deterministic byte-hash vector so that plumbing
+stays tested.
 """
 
 from __future__ import annotations
@@ -83,6 +87,28 @@ def _png_features(buf: bytes, dim: int) -> list[float] | None:
     return (feats + [0.0] * dim)[:dim]
 
 
+def _wav_features(buf: bytes, dim: int) -> list[float] | None:
+    """Real signal features for RIFF/PCM WAV bytes: [rate, channels,
+    duration_s, rms, zero-crossing rate, coarse log-spectrum] padded to
+    ``dim``. None if not a decodable WAV."""
+    from palimpzest_spark.sources.wav_lite import decode_wav
+
+    try:
+        rate, x = decode_wav(buf)
+    except Exception:
+        return None
+    mono = x.mean(axis=1)
+    n = len(mono)
+    feats = [float(rate), float(x.shape[1]), n / rate if rate else 0.0]
+    if n:
+        feats.append(float(np.sqrt(np.mean(mono**2))))
+        feats.append(float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))))
+        spec = np.abs(np.fft.rfft(mono[: min(n, 1 << 14)]))
+        bands = np.array_split(spec, max(dim - len(feats), 1))
+        feats.extend(float(np.log1p(b.mean())) for b in bands)
+    return (feats + [0.0] * dim)[:dim]
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 16,
@@ -91,16 +117,18 @@ def extract_features(
 ) -> DataFrame:
     """binary → feature vector via Arrow-batched ``mapInPandas``.
 
-    ``decode="image"``: REAL decode for PNG bytes (stdlib codec), byte-hash
-    fallback for other formats. ``decode="fake"``: deterministic byte-hash
-    vector. ``decode="real"`` names the audio/video dependency gap.
+    ``decode="image"``: REAL decode for PNG bytes (stdlib codec).
+    ``decode="audio"``: REAL decode for RIFF/PCM WAV bytes (stdlib codec) —
+    rms / zero-crossings / coarse spectrum. Unrecognized bytes fall back to
+    the deterministic byte-hash stub. ``decode="real"`` names the remaining
+    genuinely-gated codecs (compressed audio, video).
     """
     if decode == "real":
         raise NotImplementedError(
-            "audio/video decoding needs librosa/ffmpeg (absent in this "
-            "container); PNG images decode for real via decode='image' "
-            "(sources/png_lite.py) — swap this branch on a cluster image "
-            "that ships the media codecs"
+            "compressed audio / video decoding needs ffmpeg/librosa (absent "
+            "in this container); PNG images and PCM WAV audio decode for "
+            "real via decode='image' / decode='audio' (sources/png_lite.py, "
+            "sources/wav_lite.py)"
         )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,7 +136,11 @@ def extract_features(
             feats = []
             for b in pdf[content_col]:
                 buf = None if b is None else bytes(b)
-                v = _png_features(buf, dim) if (decode == "image" and buf) else None
+                v = None
+                if buf and decode == "image":
+                    v = _png_features(buf, dim)
+                elif buf and decode == "audio":
+                    v = _wav_features(buf, dim)
                 feats.append(v if v is not None else _fake_features(buf, dim))
             yield pdf.assign(features=pd.Series(feats, index=pdf.index))
 
@@ -116,6 +148,42 @@ def extract_features(
         list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.DoubleType()))]
     )
     return df.mapInPandas(compute, schema=schema)
+
+
+def audio_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Fill sample_rate/channels/duration_ms for WAV assets from the RIFF
+    header walk alone (no sample decode)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palimpzest_spark.sources.wav_lite import wav_metadata
+
+        for pdf in batches:
+            rs, cs, ds = [], [], []
+            for b in pdf[content_col]:
+                meta = wav_metadata(bytes(b)) if b is not None else None
+                r, c, d = meta if meta else (None, None, None)
+                rs.append(r)
+                cs.append(c)
+                ds.append(d)
+            yield pdf.assign(
+                sample_rate=pd.array(rs, dtype="Int32"),
+                channels=pd.array(cs, dtype="Int32"),
+                duration_ms=pd.array(ds, dtype="Int64"),
+            )
+
+    base = [
+        f for f in df.schema.fields
+        if f.name not in ("sample_rate", "channels", "duration_ms")
+    ]
+    schema = T.StructType(
+        base
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+    return df.select(*[f.name for f in base]).mapInPandas(compute, schema=schema)
 
 
 def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:

@@ -519,6 +519,32 @@ def multimodal_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@_q("multimodal_audio_features")  # rows-only: signal statistics engine-internal
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode: deterministic PCM WAVs (stdlib codec, seeded sine
+    mixes) → RIFF metadata + rms/zero-crossing/spectral features."""
+    import numpy as np
+
+    from palimpzest_spark.sources.wav_lite import encode_wav
+
+    wavs = []
+    for i in range(16):
+        rng = np.random.default_rng(2000 + i)
+        t = np.linspace(0, 0.25, 4000, endpoint=False)
+        f0 = 110 * (1 + i % 7)
+        sig = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(len(t))
+        wavs.append((i, encode_wav(sig, rate=16_000)))
+    assets = spark.createDataFrame(wavs, "asset_id long, content binary")
+    with_meta = multimodal.audio_metadata(assets)
+    feats = multimodal.extract_features(with_meta, dim=8, decode="audio")
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "duration_ms",
+        F.round(F.element_at("features", 4), 4).alias("rms"),
+    ).orderBy("asset_id")
+
+
 @_q("sem_rag_convert")  # rows-only: inference stub is engine-internal
 def sem_rag_convert(spark, sf_dir):
     from palimpzest_spark.operators import strategies as S

@@ -341,3 +341,34 @@ def test_sem_join_guard_and_blocking(spark):
     # equi-blocked pair space: only k1 matches -> at most 1 candidate pair
     assert set(out.columns) >= {"lid", "rid", "k", "text", "text_right"}
     assert len(out) <= 1
+
+
+def test_wav_decode_in_multimodal_pipeline(spark):
+    """decode='audio' must produce REAL signal statistics from PCM WAV bytes
+    (rate/duration from the RIFF header, rms from decoded samples)."""
+    import numpy as np
+
+    from palimpzest_spark.functions import multimodal as M
+    from palimpzest_spark.sources.wav_lite import encode_wav
+
+    t = np.linspace(0, 0.5, 8000, endpoint=False)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)      # rms = 0.5/sqrt(2)
+    silence = np.zeros(4000)
+    df = spark.createDataFrame(
+        [(1, encode_wav(tone, rate=16000)), (2, encode_wav(silence, rate=8000)),
+         (3, b"not audio")],
+        "asset_id long, content binary",
+    )
+    meta = M.audio_metadata(df).toPandas().set_index("asset_id")
+    assert (meta.loc[1, "sample_rate"], meta.loc[1, "duration_ms"]) == (16000, 500)
+    assert (meta.loc[2, "sample_rate"], meta.loc[2, "duration_ms"]) == (8000, 500)
+    assert pd.isna(meta.loc[3, "sample_rate"])
+
+    feats = M.extract_features(df, dim=8, decode="audio").toPandas().set_index("asset_id")
+    f1 = list(feats.loc[1, "features"])
+    assert f1[:3] == [16000.0, 1.0, 0.5]
+    assert abs(f1[3] - 0.5 / np.sqrt(2)) < 1e-3   # rms of the sine
+    f2 = list(feats.loc[2, "features"])
+    assert f2[3] == 0.0                            # silence
+    f3 = np.array(feats.loc[3, "features"])        # fallback stub: unit vector
+    assert abs(np.linalg.norm(f3) - 1.0) < 1e-9
