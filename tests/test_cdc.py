@@ -183,6 +183,71 @@ def test_kill_and_resume_stream(spark, fixture_dirs, tmp_path):
     _assert_state_equal(_actual(spark, table), _expected(fixture_dirs))
 
 
+def test_stream_mor_kill_resume_big_base(spark, tmp_path):
+    """Streaming + merge-on-read + checkpoint resume together: batches that
+    are slivers of a big base take the delta path inside foreachBatch, a
+    mid-stream kill loses nothing, and the resumed stream converges to the
+    exact pandas fold."""
+    d = tmp_path / "smor"
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=2500, max_turns=10, seed=21)
+    feed_paths = feedgen.gen_change_feed(
+        str(d / "feed"), n_events=900, n_convs=2500, max_turns=10, n_files=9, seed=21
+    )
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+    ckpt = str(d / "ckpt")
+
+    first = replay_stream(spark, table, str(d / "feed"), ckpt,
+                          max_files_per_trigger=2, max_batches=2)
+    assert len(first) >= 2
+    assert any(m.get("delta_buckets", 0) > 0 for m in first), "MoR path not taken"
+
+    resumed = replay_stream(spark, table, str(d / "feed"), ckpt, max_files_per_trigger=2)
+    assert resumed
+    expected = fold(
+        pd.read_parquet(base),
+        pd.concat([pd.read_parquet(p) for p in feed_paths], ignore_index=True),
+    )
+    _assert_state_equal(_actual(spark, table), expected)
+
+
+def test_extreme_hot_key_skew(spark, tmp_path):
+    """95% of events on ~1% of conv_ids (pathological Zipf): the map-side
+    combinable LWW must still produce the exact fold — no correctness
+    dependence on key distribution (the skew-immunity claim of merge.py
+    step 4)."""
+    d = tmp_path / "skew"
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=300, max_turns=6, seed=9)
+    feed_paths = feedgen.gen_change_feed(
+        str(d / "feed"), n_events=6000, n_convs=300, max_turns=6, n_files=6, seed=9,
+        hot_frac=0.01, hot_share=0.95,
+    )
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+    metrics = replay_batches(spark, table, str(d / "feed"), files_per_batch=2)
+    assert sum(m["events"] for m in metrics) > 0
+    expected = fold(
+        pd.read_parquet(base),
+        pd.concat([pd.read_parquet(p) for p in feed_paths], ignore_index=True),
+    )
+    _assert_state_equal(_actual(spark, table), expected)
+
+
+def test_per_partition_offset_lineage(spark, fixture_dirs, tmp_path):
+    """The snapshot summary must carry exact per-source-partition high-water
+    offsets (the north rule's per-partition lineage + checkpoint metadata)."""
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=8)
+    bootstrap(spark, table, fixture_dirs["base"])
+    replay_batches(spark, table, fixture_dirs["feed_dir"], files_per_batch=3)
+
+    feed = pd.concat(
+        [pd.read_parquet(p) for p in fixture_dirs["feed_paths"]], ignore_index=True
+    )
+    expected = feed.groupby("partition")["offset"].max().to_dict()
+    got = {int(k): int(v) for k, v in table.snapshot()["summary"]["offsets"].items()}
+    assert got == {int(k): int(v) for k, v in expected.items()}
+
+
 def test_iceberg_sql_generation_and_gate(spark, tmp_path):
     """The Iceberg path's SQL is pure and testable without the runtime jar;
     execution is explicitly gated."""
