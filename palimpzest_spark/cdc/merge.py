@@ -121,6 +121,65 @@ def bootstrap(
     return {"rows": n}
 
 
+def _anomaly_expr(table_public: T.StructType):
+    """Rows that provably do NOT fit the table's current schema — unknown
+    keys, or a non-string field whose raw value fails try_cast. Built over a
+    single map<string,string> parse aliased ``_m``."""
+    known = {f.name: f.dataType for f in table_public.fields}
+    known_arr = F.array(*[F.lit(k) for k in sorted(known)])
+    bads = [
+        F.col("_m").isNull(),
+        F.size(F.array_except(F.map_keys(F.col("_m")), known_arr)) > 0,
+    ]
+    for name, dt in known.items():
+        if isinstance(dt, (T.StringType, T.NullType)):
+            continue  # everything casts to string — cannot drift
+        v = F.col("_m").getItem(name)
+        # try_cast, NOT cast: under Spark 4's default ANSI mode a plain cast
+        # on a drifted value throws CAST_INVALID_INPUT and poison-pills the
+        # batch; try_cast yields NULL = the anomaly signal.
+        bads.append(v.isNotNull() & v.try_cast(dt).isNull())
+    from functools import reduce
+
+    return (F.col("payload").isNotNull() & reduce(lambda a, b: a | b, bads)).cast("long")
+
+
+def _value_cols(public: T.StructType, payload_schema: T.StructType | None) -> list:
+    # try_cast throughout: under ANSI a misfitting value must surface as the
+    # anomaly/widening signal (fused path aborts, two-pass widens), never as
+    # a job-killing CAST_OVERFLOW inside the merge action
+    cols = []
+    turn_t = next(f.dataType for f in public.fields if f.name == "turn_idx")
+    for f in public.fields:
+        if f.name == "conv_id":
+            cols.append(F.col("conv_id").cast("string").alias("conv_id"))
+        elif f.name == "turn_idx":
+            cols.append(F.col("turn_idx").try_cast(turn_t).alias("turn_idx"))
+        elif payload_schema is not None and f.name in payload_schema.fieldNames():
+            col = F.col(f"_p.{f.name}").try_cast(f.dataType)
+            if f.name == "text":
+                col = normalize_text_udf(col)  # pandas/Arrow UDF, never per-row
+            cols.append(col.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return cols
+
+
+def _fold_summary(table: SnapshotLakeTable, batch_id: int, lineage: dict,
+                  n_events: int, n_parts: int) -> dict:
+    prev = table.snapshot()["summary"]
+    offsets = dict(prev.get("offsets", {}))
+    for p, info in lineage.items():
+        offsets[p] = max(int(offsets.get(p, -1)), int(info["max_offset"]))
+    return {
+        "last_batch_id": batch_id,
+        "offsets": offsets,
+        "batch_lineage": lineage,
+        "batch_events": n_events,
+        "n_source_partitions": max(int(prev.get("n_source_partitions", 0)), n_parts),
+    }
+
+
 def merge_batch(
     spark: SparkSession,
     table: SnapshotLakeTable,
@@ -128,11 +187,225 @@ def merge_batch(
     batch_id: int,
     write_salt: int = 4,
 ) -> dict[str, Any]:
-    """Apply one microbatch. Returns metrics (also folded into the snapshot)."""
+    """Apply one microbatch. Returns metrics (also folded into the snapshot).
+
+    Two execution paths:
+    - **fused single-job** (steady state): when the table schema + source
+      geometry are known from previous batches, the schema probe, lineage
+      metrics, decode, LWW fold and write run as ONE observed action
+      (``_merge_fused`` — Dataset.observe/CollectMetrics rides the write
+      scan). If the observed anomaly count is non-zero (schema evolution)
+      the optimistic write is aborted file-level (never committed) and the
+      batch falls back to the two-pass path. Measured: the separate pre-pass
+      job was ~25% of steady-state batch wall clock.
+    - **two-pass** (bootstrap / first batch / evolution): pre-pass job for
+      lineage + exact probe, Arrow inference when needed, then the merge
+      write (``_merge_twopass``).
+    """
     t0 = time.perf_counter()
     if batch_id <= table.last_batch_id():
         return {"batch_id": batch_id, "skipped": True, "events": 0, "elapsed_sec": 0.0}
 
+    prev = table.snapshot()["summary"]
+    public = _public_schema(table)
+    n_parts = int(prev.get("n_source_partitions", 0) or 0)
+    est_events = int(prev.get("batch_events", 0) or 0)
+    if public is not None and n_parts > 0 and est_events > 0:
+        out = _merge_fused(spark, table, batch, batch_id, public, n_parts, est_events, t0)
+        if out is not None:
+            return out
+        if _DEBUG:
+            print(f"[merge {batch_id}] fused path aborted (schema anomaly) "
+                  f"{time.perf_counter() - t0:.1f}s — falling back to two-pass")
+    return _merge_twopass(spark, table, batch, batch_id, t0)
+
+
+def _merge_fused(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    public: T.StructType,
+    n_parts: int,
+    est_events: int,
+    t0: float,
+) -> dict[str, Any] | None:
+    """Steady-state merge as ONE observed action (two when cow+mor mix).
+
+    The batch scan computes, in a single stage: the map-parse anomaly probe,
+    the struct decode with the KNOWN schema, text normalization, bucketing —
+    with lineage/probe metrics collected by a CollectMetrics node during the
+    SAME job (count, anomaly sum, per-source-partition event counts and
+    high-water offsets in ``n_parts`` fixed slots). Returns None if the
+    anomaly count is non-zero or a partition id outside the known slots
+    appears — after aborting the uncommitted files — so the caller reruns
+    the exact two-pass path.
+
+    The CoW/MoR split is decided from ESTIMATED per-bucket rows (previous
+    batch's event count, uniform across buckets) because the true counts are
+    only known after the job. Misclassification is self-correcting: an
+    under-estimated bucket appends a delta and the manifest's real
+    ``delta_rows`` trigger compaction on the next batch; cost is bounded by
+    one extra delta generation, never wrong results (the fold is associative).
+    """
+    from pyspark.sql import Observation
+
+    payload_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in public.fields]
+    )
+    full = _full_schema(public)
+    cols = [f.name for f in full.fields]
+    turn_t0 = next(f.dataType for f in public.fields if f.name == "turn_idx")
+
+    # Fast-fail sample probe (~one row-group scan): schema evolution usually
+    # marks most rows of its batch, so a 2048-row sample catches it for the
+    # cost of a tiny job instead of a full optimistic write that the exact
+    # observe gate below would then throw away. A lone anomalous row that the
+    # sample misses is still caught exactly by the observed metrics.
+    sample_anom = (
+        batch.limit(2048)
+        .withColumn("_m", F.from_json("payload", "map<string,string>"))
+        .agg(
+            (
+                F.sum(_anomaly_expr(public))
+                + F.sum(
+                    (
+                        F.col("turn_idx").isNotNull()
+                        & F.col("turn_idx").try_cast(turn_t0).isNull()
+                    ).cast("long")
+                )
+            ).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+    if sample_anom and int(sample_anom) > 0:
+        return None
+
+    decoded = (
+        batch.withColumn("_m", F.from_json("payload", "map<string,string>"))
+        .withColumn("_anom", _anomaly_expr(public))
+        .withColumn("_p", F.from_json("payload", payload_schema))
+    )
+    obs = Observation()
+    turn_t = next(f.dataType for f in public.fields if f.name == "turn_idx")
+    # ENVELOPE anomaly: a delete (payload-less) whose turn_idx needs widening
+    # is invisible to the payload probe — catching it here prevents the
+    # optimistic decode from null-ing its key (and routes to two-pass, which
+    # widens from the envelope's observed max)
+    env_anom = (F.col("turn_idx").isNotNull() & F.col("turn_idx").try_cast(turn_t).isNull())
+    metrics = [
+        F.count(F.lit(1)).alias("events"),
+        (F.sum("_anom") + F.sum(env_anom.cast("long"))).alias("anomalies"),
+        F.max("partition").alias("max_part"),
+    ]
+    for p in range(n_parts):
+        is_p = F.col("partition") == p
+        metrics.append(F.sum(is_p.cast("long")).alias(f"ev_{p}"))
+        metrics.append(F.max(F.when(is_p, F.col("offset"))).alias(f"off_{p}"))
+    decoded = decoded.observe(obs, *metrics)
+
+    upserts = decoded.select(
+        *_value_cols(public, payload_schema),
+        F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_bucket"),
+        F.col("ts").alias("_ts"),
+        F.col("event_seq").alias("_event_seq"),
+        (F.col("op") == "D").alias("_deleted"),
+    )
+
+    est_by_bucket = {b: max(est_events // table.n_buckets, 1) for b in range(table.n_buckets)}
+    cow, mor = table.plan_compaction(est_by_bucket)
+
+    out_rels: list[str] = []
+    cow_files: dict = {}
+    mor_files: dict = {}
+    stats: dict = {}
+    try:
+        if cow:
+            existing = table.read_raw(spark, cow)
+            part = align_to(upserts.filter(F.col("_bucket").isin(cow)), full)
+            merged_in = part if existing is None else align_to(existing, full).unionByName(part)
+            rel, cow_files, s = table.write_files(
+                _lww(merged_in, cols).hint("rebalance", "_bucket"), cow
+            )
+            out_rels.append(rel)
+            stats.update(s)
+        if mor:
+            part = align_to(upserts.filter(F.col("_bucket").isin(mor)), full)
+            rel, mor_files, s = table.write_files(
+                _lww(part, cols).hint("rebalance", "_bucket"), mor
+            )
+            out_rels.append(rel)
+            stats.update(s)
+        # NEVER call the blocking obs.get py4j method unguarded: it waits on
+        # a listener-bus notification with no timeout, and inside foreachBatch
+        # a concurrent q.stop() (the kill/resume path) deadlocks against the
+        # blocked callback thread. Metrics land ~instantly after the action,
+        # so poll the non-blocking getRowOrEmpty briefly; if they never
+        # arrive (dropped listener event), recompute exactly with a dedicated
+        # job — correct either way, bounded always.
+        m = None
+        jo = getattr(obs, "_jo", None)
+        deadline = time.time() + 2.0
+        while jo is not None and time.time() < deadline:
+            if jo.getRowOrEmpty().isDefined():
+                m = obs.get
+                break
+            time.sleep(0.05)
+        if m is None:
+            m = decoded.agg(*metrics).collect()[0].asDict()
+        n_events = int(m["events"] or 0)
+        anomalies = int(m["anomalies"] or 0)
+        max_part = -1 if m["max_part"] is None else int(m["max_part"])
+        if anomalies > 0 or max_part >= n_parts:
+            for rel in out_rels:
+                table.abort_files(rel)
+            return None
+    except Exception:
+        for rel in out_rels:
+            table.abort_files(rel)
+        raise
+    if _DEBUG:
+        print(f"[merge {batch_id}] fused write cow={len(cow)} mor={len(mor)} "
+              f"{time.perf_counter() - t0:.1f}s")
+    if n_events == 0:
+        for rel in out_rels:
+            table.abort_files(rel)
+        return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
+
+    lineage = {
+        str(p): {"events": int(m[f"ev_{p}"] or 0), "max_offset": int(m[f"off_{p}"] if m[f"off_{p}"] is not None else -1)}
+        for p in range(n_parts)
+        if int(m[f"ev_{p}"] or 0) > 0
+    }
+    table.commit_merge(
+        cow, cow_files, mor_files, stats, full.jsonValue(),
+        _fold_summary(table, batch_id, lineage, n_events, n_parts),
+    )
+    elapsed = time.perf_counter() - t0
+    if _DEBUG:
+        print(f"[merge {batch_id}] fused commit done {elapsed:.1f}s ({n_events} ev)")
+    return {
+        "batch_id": batch_id,
+        "skipped": False,
+        "events": n_events,
+        "affected_buckets": len(cow) + len(mor),
+        "compacted_buckets": len(cow),
+        "delta_buckets": len(mor),
+        "fused": True,
+        "lineage": lineage,
+        "elapsed_sec": elapsed,
+        "events_per_sec": n_events / elapsed if elapsed > 0 else 0.0,
+    }
+
+
+def _merge_twopass(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    t0: float,
+) -> dict[str, Any]:
+    """Apply one microbatch (exact path — bootstrap / evolution batches)."""
     # (7a)+(2) ONE pre-pass job computes lineage AND the schema-fit check.
     # Grouping is (partition, bucket) — not partition alone: a per-partition
     # collect_set(bucket) funnels the whole batch through one final-agg task
@@ -184,8 +457,13 @@ def merge_batch(
 
         anomaly_expr = (anom & reduce(lambda a, b: a | b, bads)).cast("long")
 
+    pre_cols.append(F.col("turn_idx").alias("_turn"))
     pre = batch.select(*pre_cols)
-    aggs = [F.count(F.lit(1)).alias("events"), F.max("offset").alias("max_offset")]
+    aggs = [
+        F.count(F.lit(1)).alias("events"),
+        F.max("offset").alias("max_offset"),
+        F.max("_turn").alias("max_turn"),
+    ]
     if anomaly_expr is not None:
         pre = pre.withColumn("_anom", anomaly_expr)
         aggs.append(F.sum("_anom").alias("anomalies"))
@@ -221,6 +499,23 @@ def merge_batch(
 
     table_public = _public_schema(table)
     public = reconcile_public_schema(table_public, payload_schema)
+    # envelope-driven widening: the feed envelope's turn_idx is authoritative
+    # for the key; a payload-less delete can carry a value beyond the
+    # reconciled type's range (invisible to payload inference) — widen from
+    # the pre-pass's observed max so the key cast can never overflow
+    max_turn = max((int(r["max_turn"]) for r in lineage_cells
+                    if r["max_turn"] is not None), default=0)
+    turn_f = next(f for f in public.fields if f.name == "turn_idx")
+    if isinstance(turn_f.dataType, (T.ByteType, T.ShortType, T.IntegerType)) and (
+        max_turn > 2**31 - 1
+    ):
+        public = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "turn_idx" else f.dataType,
+                              True, metadata=f.metadata)
+                for f in public.fields
+            ]
+        )
     full = _full_schema(public)
 
     # (3) vectorized decode: JVM-side from_json with the reconciled schema;
@@ -269,15 +564,14 @@ def merge_batch(
         batch_rows_by_bucket[r["_b"]] = batch_rows_by_bucket.get(r["_b"], 0) + r["events"]
     cow, mor = table.plan_compaction(batch_rows_by_bucket)
 
-    # (7b) fold lineage into the snapshot summary
+    # (7b) fold lineage into the snapshot summary; n_source_partitions is
+    # recorded so subsequent steady-state batches can take the fused
+    # single-job path (its observe slots need the source geometry up front)
     lineage = {
         str(r["partition"]): {"events": r["events"], "max_offset": r["max_offset"]}
         for r in lineage_rows
     }
-    prev = table.snapshot()["summary"]
-    offsets = dict(prev.get("offsets", {}))
-    for p, info in lineage.items():
-        offsets[p] = max(int(offsets.get(p, -1)), int(info["max_offset"]))
+    n_parts = max((r["partition"] for r in lineage_rows), default=-1) + 1
 
     # (6) skew-immune write: AQE REBALANCE on _bucket. Unlike a fixed-width
     # hash repartition (lumpy: few distinct buckets hashed into many
@@ -315,12 +609,7 @@ def merge_batch(
         mor_files,
         stats,
         full.jsonValue(),
-        {
-            "last_batch_id": batch_id,
-            "offsets": offsets,
-            "batch_lineage": lineage,
-            "batch_events": n_events,
-        },
+        _fold_summary(table, batch_id, lineage, n_events, n_parts),
     )
     elapsed = time.perf_counter() - t0
     if _DEBUG:

@@ -63,6 +63,10 @@ def test_batch_replay_matches_fold(spark, fixture_dirs, tmp_path):
     bootstrap(spark, table, fixture_dirs["base"])
     metrics = replay_batches(spark, table, fixture_dirs["feed_dir"], files_per_batch=3)
     assert sum(m["events"] for m in metrics) > 0
+    # non-vacuous: the steady-state single-job fused path must actually engage
+    # (batch 1 is two-pass by design; evolution batches fall back by design —
+    # but at least one stable-schema batch after batch 1 must fuse)
+    assert any(m.get("fused") for m in metrics), "fused merge path never engaged"
     _assert_state_equal(_actual(spark, table), _expected(fixture_dirs))
 
 
