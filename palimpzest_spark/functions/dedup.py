@@ -74,29 +74,80 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_col: str | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
+    """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold — EXACT.
 
-    JVM-side set ops; pair generation is a self-join on ``block_col`` (or a
-    length bucket by default) so the quadratic blow-up is bounded per block.
+    Default path is **prefix filtering** (AllPairs / PPJoin family,
+    Chaudhuri et al. 2006): order the gram universe by global frequency
+    (rarest first); a set of size ``s`` needs only its first
+    ``s - ceil(t*s) + 1`` grams exploded, because any pair with
+    Jaccard >= t shares >= ceil(t*max(|A|,|B|)) grams and therefore at
+    least one PREFIX gram under a common total order. Candidates from the
+    prefix equi-join are verified with the exact intersection/union — no
+    false negatives (unlike r1's length-bucket blocking, whose boundary
+    straddle was a recall hole), no false positives (exact verify).
+
+    Scale shape: shuffles are (gram -> count) and the prefix equi-join on
+    rare grams + a size-ratio prune (t*|A| <= |B| <= |A|/t); gram arrays
+    travel only for verification of surviving candidate pairs, never
+    through the explode. Passing ``block_col`` (e.g. a language column)
+    adds an equi-key that both bounds the join and preserves exactness
+    within blocks.
     """
-    blk = F.col(block_col) if block_col else F.floor(F.length(text_col) / 16)
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("grams"),
-        blk.alias("blk"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    ).withColumn("sz", F.size("grams"))
+
+    tok = base.select("id", "sz", F.explode("grams").alias("g"),
+                      *(["blk"] if block_col else []))
+    freq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
+    # rarest-first total order (ties broken by the gram itself); prefix
+    # length p = sz - ceil(t*sz) + 1
+    ranked = (
+        tok.join(freq, "g")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df_", "g"))).alias("ordered"),
+            F.first("sz").alias("sz"),
+            *( [F.first("blk").alias("blk")] if block_col else [] ),
+        )
+        # epsilon guards the float product: ceil(0.6*5) = ceil(3.0000000004)
+        # would shrink the prefix below the lemma's bound (false negatives)
+        .withColumn(
+            "p", F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+        )
+        .select(
+            "id", "sz",
+            F.explode(
+                F.transform(F.slice("ordered", 1, F.col("p")), lambda x: x["g"])
+            ).alias("g"),
+            *(["blk"] if block_col else []),
+        )
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cond = (
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.id") < F.col("b.id"))
+        # size-ratio prune: Jaccard >= t forces min >= t*max (epsilon: an
+        # exact-boundary pair like |A|=5,|B|=3 at t=0.6 must survive)
+        & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(1e-9))
+        & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(1e-9))
+    )
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cands = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).distinct()
+
+    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    pairs = cands.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
     jac = inter.cast("double") / union
     return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jac.alias("jaccard_raw"),
-        )
+        pairs.select("id_a", "id_b", jac.alias("jaccard_raw"))
         .filter(F.col("jaccard_raw") >= threshold)
         # engine-agnostic HALF_UP (see functions/text.py round_sql)
         .withColumn(

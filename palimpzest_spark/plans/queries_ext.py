@@ -372,15 +372,17 @@ WITH g AS (
          list_distinct(list_transform(
             range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
             i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')
-         )) AS grams,
-         floor(length(text) / 16) AS blk
+         )) AS grams
   FROM documents
 )
+-- brute-force ALL pairs: the Spark side's prefix-filtered join is exact, so
+-- the oracle no longer mirrors any blocking scheme (r1's length-bucket
+-- oracle shared the implementation's recall hole and could not see it)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        floor((cast(len(list_intersect(a.grams, b.grams)) as double)
               / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))))
              * cast(10000 as double) + cast(0.5 as double)) / cast(10000 as double) AS jaccard
-FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
       / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
 """,

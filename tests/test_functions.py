@@ -42,6 +42,45 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert not any(4 in p or 5 in p for p in got)
 
 
+def test_ngram_jaccard_exact_recall_vs_bruteforce(spark):
+    """The prefix-filtered join must equal brute-force all-pairs Jaccard —
+    including pairs the r1 length-bucket blocking missed (a near-dup whose
+    1-word edit pushes it across a floor(len/16) boundary) and docs with
+    whitespace runs."""
+    import itertools
+    import re
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(12):
+        body = " ".join(words[(i % 3):] + words[: (i % 3)])
+        rows.append((i, body))
+    # straddle: doc 100 vs 101 differ by one LONGER word → different len bucket
+    rows.append((100, "one two three four five six seven eight nine ten"))
+    rows.append((101, "one two three four five six seven eight nine tremendous"))
+    rows.append((102, "one  two\tthree four\n five six seven eight nine ten"))  # ws runs
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    t, n = 0.6, 3
+
+    def grams(s):
+        toks = re.split(r"\s+", s.strip())
+        k = max(len(toks) - (n - 1), 1)
+        return {" ".join(toks[i : i + n]) for i in range(k)}
+
+    g = {i: grams(s) for i, s in rows}
+    expect = set()
+    for a, b in itertools.combinations(sorted(g), 2):
+        j = len(g[a] & g[b]) / len(g[a] | g[b])
+        if j >= t:
+            expect.add((a, b))
+    got = dedup.ngram_jaccard_pairs(df, threshold=t, n=n).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    assert got_pairs == expect
+    assert (100, 101) in expect, "fixture must exercise the bucket-straddle case"
+    assert (100, 102) in expect, "fixture must exercise whitespace runs"
+
+
 def test_minhash_lsh_pairs(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
