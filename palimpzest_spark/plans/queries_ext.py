@@ -435,6 +435,25 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", "label")
 
 
+@_q("ann_ivf_topk")  # rows-only: inverted-list layout is engine-internal
+def ann_ivf_topk(spark, sf_dir):
+    """IVF scale tier: seeded spherical k-means coarse quantizer (trained on
+    a bounded sample), corpus materialized partitioned by nearest centroid,
+    query probes nprobe inverted lists via parquet partition pruning."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    C = similarity.train_ivf_centroids(emb, n_centroids=16, iters=8)
+    with tempfile.TemporaryDirectory(prefix="ivf_") as d:
+        path = f"{d}/index"
+        similarity.write_ivf_index(emb, path, C)
+        out = similarity.ivf_top_k(spark, path, list(query), C, k=10, nprobe=4)
+        return spark.createDataFrame(
+            out.select("vec_id", "label").toPandas()
+        )
+
+
 @_q("embedding_neardup")  # rows-only (LSH blocking engine-internal)
 def embedding_neardup(spark, sf_dir):
     """Random embeddings are never cosine-0.9 close, so the raw table made
