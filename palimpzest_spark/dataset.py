@@ -71,6 +71,16 @@ class Dataset:
     def __init__(self, df: DataFrame, sem_fn_factory: Callable | None = None):
         self.df = df
         self._sem = sem_fn_factory or _default_sem_fn
+        self._stats = None  # StatsCollector, set via with_stats()
+
+    def with_stats(self, collector) -> "Dataset":
+        """Record per-operator output cardinalities (the reference's
+        ``RecordOpStats``/``ExecutionStats`` surface — see stats.py): every
+        fluent call after this point adds a CollectMetrics node that rides
+        the user's action, zero extra jobs."""
+        d = Dataset(self.df, self._sem)
+        d._stats = collector
+        return d
 
     # -- construction ------------------------------------------------------
 
@@ -86,6 +96,15 @@ class Dataset:
         return cls(lineage.with_source_lineage(spark.createDataFrame(pdf), key_cols))
 
     def _wrap(self, df: DataFrame) -> "Dataset":
+        if self._stats is not None:
+            import sys
+
+            # the direct caller IS the fluent operator method — its name is
+            # the op label (filter/map/join/...), no registry to maintain
+            op_name = sys._getframe(1).f_code.co_name
+            d = Dataset(self._stats.attach(df, op_name), self._sem)
+            d._stats = self._stats
+            return d
         return Dataset(df, self._sem)
 
     # -- relational surface (dataset.py:246-665) ----------------------------

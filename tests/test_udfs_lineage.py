@@ -412,3 +412,29 @@ def test_wav_decode_in_multimodal_pipeline(spark):
     assert f2[3] == 0.0                            # silence
     f3 = np.array(feats.loc[3, "features"])        # fallback stub: unit vector
     assert abs(np.linalg.norm(f3) - 1.0) < 1e-9
+
+
+# --- execution stats (CollectMetrics per fluent op) ------------------------------
+
+
+def test_execution_stats_per_op(spark):
+    """Per-op cardinalities must ride ONE action (the reference's
+    RecordOpStats/ExecutionStats surface, re-expressed as observe nodes)."""
+    from palimpzest_spark.dataset import Dataset
+    from palimpzest_spark.stats import StatsCollector
+
+    rows = [(i, "evt" if i % 4 else "key") for i in range(100)]
+    sc = StatsCollector()
+    ds = Dataset(spark.createDataFrame(rows, "id long, kind string")).with_stats(sc)
+    out = ds.filter(F.col("kind") == "evt").map({"id2": F.col("id") * 2}).df
+    with sc.timed():
+        n = out.count()
+    assert n == 75
+    stats = sc.execution_stats()
+    names = [o.op_name for o in stats.ops]
+    assert names == ["filter", "map"]
+    assert [o.rows_out for o in stats.ops] == [75, 75]
+    assert stats.ops[1].selectivity == 1.0
+    assert stats.wall_sec is not None and stats.wall_sec > 0
+    d = stats.to_dict()
+    assert d["ops"][0]["op"] == "0:filter"
