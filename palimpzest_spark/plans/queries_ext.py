@@ -220,6 +220,31 @@ def events_tumbling_hour(spark, sf_dir):
 
 
 @_q(
+    "events_sliding_window",
+    oracle="""
+SELECT w.wstart AS window_start, e.event_type,
+       CAST(count(*) AS BIGINT) AS n, {v} AS sum_value
+FROM events e,
+     LATERAL (SELECT unnest([date_trunc('hour', e.ts) - INTERVAL 1 HOUR,
+                             date_trunc('hour', e.ts)]) AS wstart) w
+GROUP BY 1, 2
+""".format(v=_ROUND4.format(x="sum(e.value)")),
+    # sliding = each event lands in duration/slide windows; the oracle makes
+    # that explicit by unnesting the two hour-starts each event belongs to
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding time window (2h window, 1h slide) — the batch twin of the
+    streaming window() agg: F.window assigns each event to BOTH overlapping
+    windows, then a plain hash agg per (window_start, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _r4("sum(value)").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@_q(
     "events_json_extract",
     oracle="""
 SELECT event_type,
