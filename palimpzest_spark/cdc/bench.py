@@ -40,9 +40,10 @@ def ensure_fixture(
     max_turns: int = 24,
     n_files: int = 12,
     seed: int = 42,
+    evolve_at: float = 0.5,
 ) -> dict[str, str]:
     """Generate (or reuse) the bench feed; cache key = the size parameters."""
-    key = f"e{n_events}_c{n_convs}_t{max_turns}_f{n_files}_s{seed}"
+    key = f"e{n_events}_c{n_convs}_t{max_turns}_f{n_files}_s{seed}_v{evolve_at}"
     root = os.path.join(CACHE_ROOT, key)
     base = os.path.join(root, "base", "conversations.parquet")
     feed_dir = os.path.join(root, "feed")
@@ -57,6 +58,7 @@ def ensure_fixture(
             max_turns=max_turns,
             n_files=n_files,
             seed=seed,
+            evolve_at=evolve_at,
         )
         open(done, "w").close()
     return {"base": base, "feed_dir": feed_dir}

@@ -166,7 +166,7 @@ def _value_cols(public: T.StructType, payload_schema: T.StructType | None) -> li
 
 
 def _fold_summary(table: SnapshotLakeTable, batch_id: int, lineage: dict,
-                  n_events: int, n_parts: int) -> dict:
+                  n_events: int, n_parts: int, fused_clean: bool = False) -> dict:
     prev = table.snapshot()["summary"]
     offsets = dict(prev.get("offsets", {}))
     for p, info in lineage.items():
@@ -177,6 +177,7 @@ def _fold_summary(table: SnapshotLakeTable, batch_id: int, lineage: dict,
         "batch_lineage": lineage,
         "batch_events": n_events,
         "n_source_partitions": max(int(prev.get("n_source_partitions", 0)), n_parts),
+        "fused_clean": fused_clean,
     }
 
 
@@ -262,24 +263,34 @@ def _merge_fused(
     # cost of a tiny job instead of a full optimistic write that the exact
     # observe gate below would then throw away. A lone anomalous row that the
     # sample misses is still caught exactly by the observed metrics.
-    sample_anom = (
-        batch.limit(2048)
-        .withColumn("_m", F.from_json("payload", "map<string,string>"))
-        .agg(
-            (
-                F.sum(_anomaly_expr(public))
-                + F.sum(
-                    (
-                        F.col("turn_idx").isNotNull()
-                        & F.col("turn_idx").try_cast(turn_t0).isNull()
-                    ).cast("long")
-                )
-            ).alias("a")
+    #
+    # On a CLEAN STREAK (the previous batch was fused with zero anomalies)
+    # even this tiny job is skipped: it is ~1-1.5s of serial driver time per
+    # batch that buys nothing while the schema is stable, and the exact
+    # observe gate still catches the (rare) evolution instant — cost there
+    # is one wasted optimistic write, once per evolution, not per batch.
+    if bool(table.snapshot()["summary"].get("fused_clean")):
+        sample_anom = 0
+    else:
+        sample_anom = (
+            batch.limit(2048)
+            .withColumn("_m", F.from_json("payload", "map<string,string>"))
+            .agg(
+                (
+                    F.sum(_anomaly_expr(public))
+                    + F.sum(
+                        (
+                            F.col("turn_idx").isNotNull()
+                            & F.col("turn_idx").try_cast(turn_t0).isNull()
+                        ).cast("long")
+                    )
+                ).alias("a")
+            )
+            .collect()[0]["a"]
         )
-        .collect()[0]["a"]
-    )
     if sample_anom and int(sample_anom) > 0:
         return None
+    t_sample = time.perf_counter()
 
     decoded = (
         batch.withColumn("_m", F.from_json("payload", "map<string,string>"))
@@ -319,6 +330,7 @@ def _merge_fused(
     cow_files: dict = {}
     mor_files: dict = {}
     stats: dict = {}
+    t_cow = t_mor = t_plan = time.perf_counter()
     try:
         if cow:
             existing = table.read_raw(spark, cow)
@@ -329,6 +341,7 @@ def _merge_fused(
             )
             out_rels.append(rel)
             stats.update(s)
+            t_cow = time.perf_counter()
         if mor:
             part = align_to(upserts.filter(F.col("_bucket").isin(mor)), full)
             rel, mor_files, s = table.write_files(
@@ -336,6 +349,7 @@ def _merge_fused(
             )
             out_rels.append(rel)
             stats.update(s)
+            t_mor = time.perf_counter()
         # NEVER call the blocking obs.get py4j method unguarded: it waits on
         # a listener-bus notification with no timeout, and inside foreachBatch
         # a concurrent q.stop() (the kill/resume path) deadlocks against the
@@ -365,8 +379,12 @@ def _merge_fused(
             table.abort_files(rel)
         raise
     if _DEBUG:
-        print(f"[merge {batch_id}] fused write cow={len(cow)} mor={len(mor)} "
-              f"{time.perf_counter() - t0:.1f}s")
+        t_now = time.perf_counter()
+        print(f"[merge {batch_id}] fused phases: sample={t_sample - t0:.1f}s "
+              f"cow_write={max(t_cow - t_plan, 0):.1f}s "
+              f"mor_write={max(t_mor - max(t_cow, t_plan), 0):.1f}s "
+              f"obs={t_now - max(t_mor, t_cow, t_plan):.1f}s total={t_now - t0:.1f}s "
+              f"(cow={len(cow)} mor={len(mor)})")
     if n_events == 0:
         for rel in out_rels:
             table.abort_files(rel)
@@ -379,7 +397,7 @@ def _merge_fused(
     }
     table.commit_merge(
         cow, cow_files, mor_files, stats, full.jsonValue(),
-        _fold_summary(table, batch_id, lineage, n_events, n_parts),
+        _fold_summary(table, batch_id, lineage, n_events, n_parts, fused_clean=True),
     )
     elapsed = time.perf_counter() - t0
     if _DEBUG:

@@ -47,33 +47,52 @@ import sys
 
 _CHILD = """
 import json, os, sys
-cores, cpu_offset, n_events, n_convs = (int(x) for x in sys.argv[1:5])
+cores, cpu_offset, n_events, n_convs, n_buckets, max_part_mb = (
+    int(x) for x in sys.argv[1:7]
+)
 # disjoint CPU sets per level (N on 0..N-1, 4N on the upper cores) so the
 # idle level's JVM background threads never touch the measuring level's CPUs
 os.sched_setaffinity(0, set(range(cpu_offset, cpu_offset + cores)))
 from palimpzest_spark.session import get_spark
 from palimpzest_spark.cdc.bench import ensure_fixture, _replay_fresh
+# max_part_mb splits the scan into tasks well past the core count: with
+# default 128M parquet splits the 4N level's scan degenerates to ~1
+# task/core — zero slack, so ONE steal burst on ONE core stretches the
+# whole stage (measured: the 4N level is straggler-bound while N runs the
+# same files in 4+ waves that absorb bursts). Real clusters size splits for
+# slack the same way.
 spark = get_spark(app_name=f"cdc_scaling_{cores}", master=f"local[{cores}]",
-                  extra_conf={"spark.ui.showConsoleProgress": "false"})
-fix = ensure_fixture(n_events=n_events, n_convs=n_convs, max_turns=24, n_files=32)
-_replay_fresh(spark, fix, files_per_batch=16, n_buckets=16)  # warmup replay
+                  extra_conf={
+                      "spark.ui.showConsoleProgress": "false",
+                      "spark.sql.files.maxPartitionBytes": f"{max_part_mb}m",
+                  })
+# evolve_at=0.1: the schema-evolution wave lands inside batch 0 of the
+# replay, so the remaining batches exercise the STEADY-STATE fused merge —
+# the regime the sustained-throughput metric describes (a days-long CDC
+# tail evolves rarely; the default 0.5 put the wave in the LAST batch,
+# making every measured batch an evolution batch and the fused path dead
+# code in the bench).
+fix = ensure_fixture(n_events=n_events, n_convs=n_convs, max_turns=24, n_files=32,
+                     evolve_at=0.1)
+_replay_fresh(spark, fix, files_per_batch=16, n_buckets=n_buckets)  # warmup replay
 print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "GO":
         break
-    m = _replay_fresh(spark, fix, files_per_batch=16, n_buckets=16)
+    m = _replay_fresh(spark, fix, files_per_batch=16, n_buckets=n_buckets)
     print("RESULT " + json.dumps(m), flush=True)
 spark.stop()
 """
 
 
 class _Child:
-    def __init__(self, cores: int, cpu_offset: int, n_events: int, n_convs: int):
+    def __init__(self, cores: int, cpu_offset: int, n_events: int, n_convs: int,
+                 n_buckets: int = 64, max_part_mb: int = 16):
         self.cores = cores
         self.errpath = f"/tmp/pz_scaling_{cores}.stderr"
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", _CHILD, str(cores), str(cpu_offset),
-             str(n_events), str(n_convs)],
+             str(n_events), str(n_convs), str(n_buckets), str(max_part_mb)],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=open(self.errpath, "w"),
@@ -112,18 +131,19 @@ class _Child:
             self.proc.kill()
 
 
-def run_interleaved(n: int, n_events: int, n_convs: int, trials: int) -> tuple[dict, dict]:
+def run_interleaved(n: int, n_events: int, n_convs: int, trials: int,
+                    n_buckets: int = 64, max_part_mb: int = 16) -> tuple[dict, dict]:
     total = (__import__("os").cpu_count() or 32)
     # start strictly sequentially: the second child begins only after the
     # first is READY, so fixture generation never races and the warmup
     # replays never contend
-    small = _Child(n, 0, n_events, n_convs)
+    small = _Child(n, 0, n_events, n_convs, n_buckets, max_part_mb)
     try:
         small.wait_ready()
     except Exception:
         small.close()
         raise
-    big = _Child(n * 4, max(total - n * 4, 0), n_events, n_convs)
+    big = _Child(n * 4, max(total - n * 4, 0), n_events, n_convs, n_buckets, max_part_mb)
     try:
         big.wait_ready()
         rates_n: list[float] = []
@@ -146,10 +166,13 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=320_000)
     ap.add_argument("--n", type=int, default=4, help="small parallelism (N)")
     ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--max-part-mb", type=int, default=16)
     ap.add_argument("--out", default=None, help="write a markdown report here")
     args = ap.parse_args()
 
-    small, big = run_interleaved(args.n, args.events, args.convs, args.trials)
+    small, big = run_interleaved(args.n, args.events, args.convs, args.trials,
+                                 args.buckets, args.max_part_mb)
     t_n, t_4n = small["events_per_sec"], big["events_per_sec"]
     eff = (t_4n / t_n) / 4 if t_n else 0.0
     result = {

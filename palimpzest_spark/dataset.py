@@ -122,6 +122,58 @@ class Dataset:
                  depends_on: list[str] | None = None) -> "Dataset":
         return self._wrap(flat_map_records(self.df, fn, output_fields, depends_on))
 
+    def add_columns(self, udf, cols: T.StructType | dict | None = None,
+                    depends_on: list[str] | None = None) -> "Dataset":
+        """Deprecated alias for ``map`` — mirrored from the reference, which
+        keeps ``add_columns`` as a DeprecationWarning shim over ``_map``
+        (``core/data/dataset.py:464-501``)."""
+        import warnings
+
+        warnings.warn(
+            "add_columns is deprecated; call .map(...) with the same arguments",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        if udf is None:
+            raise ValueError("`udf` must be provided for add_columns.")
+        return self.map(udf, cols, depends_on)
+
+    def sem_add_columns(self, instruction: str,
+                        output_field: str = "_sem_out") -> "Dataset":
+        """Deprecated alias for ``sem_map`` (``core/data/dataset.py:373-401``)."""
+        import warnings
+
+        warnings.warn(
+            "sem_add_columns is deprecated; call .sem_map(...) with the same arguments",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.sem_map(instruction, output_field)
+
+    def copy(self) -> "Dataset":
+        """Shallow logical-plan copy (``core/data/dataset.py:238-244``) — the
+        DataFrame is immutable, so sharing it is the copy."""
+        d = Dataset(self.df, self._sem)
+        d._stats = self._stats
+        return d
+
+    def relax_types(self) -> "Dataset":
+        """Relax every column to its widened numeric type
+        (``core/data/dataset.py:196-209`` / ``schemas.py:90-96`` — the
+        reference loosens annotations to ``| Any``; the Spark analogue casts
+        up the widening lattice so later unions/merges can't conflict:
+        int8/16/32→int64, float→double, everything else unchanged)."""
+        cols = []
+        for f in self.df.schema.fields:
+            target = f.dataType
+            if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType)):
+                target = T.LongType()
+            elif isinstance(f.dataType, T.FloatType):
+                target = T.DoubleType()
+            cols.append(F.col(f.name).cast(target).alias(f.name)
+                        if target != f.dataType else F.col(f.name))
+        return self._wrap(self.df.select(*cols))
+
     def join(self, other: "Dataset", on: list[str], how: str = "inner",
              broadcast_right: bool = False) -> "Dataset":
         return self._wrap(relational_join(self.df, other.df, on, how, broadcast_right))

@@ -438,3 +438,36 @@ def test_execution_stats_per_op(spark):
     assert stats.wall_sec is not None and stats.wall_sec > 0
     d = stats.to_dict()
     assert d["ops"][0]["op"] == "0:filter"
+
+
+# --- reference Dataset API parity: deprecated aliases, copy, relax_types ---------
+
+
+def test_dataset_api_aliases_and_relax(spark):
+    import warnings
+
+    from palimpzest_spark.dataset import Dataset
+
+    ds = Dataset(spark.createDataFrame([(1, 2.5)], "a int, b float"))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = ds.add_columns({"c": F.col("a") + 1})
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert out.df.columns == ["a", "b", "c"]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sem = ds.sem_add_columns("label this")
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert "_sem_out" in sem.df.columns
+
+    with pytest.raises(ValueError, match="udf"):
+        ds.add_columns(None)
+
+    c = ds.copy()
+    assert c.df is ds.df
+
+    relaxed = ds.relax_types()
+    types = dict(relaxed.df.dtypes)
+    assert types == {"a": "bigint", "b": "double"}
