@@ -46,10 +46,25 @@ import subprocess
 import sys
 
 _CHILD = """
-import json, os, sys
+import json, os, sys, time
 cores, cpu_offset, n_events, n_convs, n_buckets, max_part_mb = (
     int(x) for x in sys.argv[1:7]
 )
+
+def _steal_jiffies():
+    # sum the per-cpu steal counters (field 8 of /proc/stat) over OUR pinned
+    # cores: the host's hypervisor-steal is measurable directly, so each
+    # trial carries its own contamination meter instead of being guessed at
+    tot = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and not line.startswith("cpu "):
+                idx = int(line[3:line.index(" ")])
+                if cpu_offset <= idx < cpu_offset + cores:
+                    parts = line.split()
+                    if len(parts) > 8:
+                        tot += int(parts[8])
+    return tot
 # disjoint CPU sets per level (N on 0..N-1, 4N on the upper cores) so the
 # idle level's JVM background threads never touch the measuring level's CPUs
 os.sched_setaffinity(0, set(range(cpu_offset, cpu_offset + cores)))
@@ -79,7 +94,11 @@ print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "GO":
         break
+    s0, t0 = _steal_jiffies(), time.monotonic()
     m = _replay_fresh(spark, fix, files_per_batch=16, n_buckets=n_buckets)
+    wall = time.monotonic() - t0
+    # USER_HZ=100: steal fraction of this trial's pinned-core-seconds
+    m["steal_frac"] = (_steal_jiffies() - s0) / max(wall * 100.0 * cores, 1e-9)
     print("RESULT " + json.dumps(m), flush=True)
 spark.stop()
 """
@@ -118,10 +137,11 @@ class _Child:
     def wait_ready(self) -> None:
         self._read_until("READY")
 
-    def trial(self) -> float:
+    def trial(self) -> tuple[float, float]:
         self.proc.stdin.write("GO\n")
         self.proc.stdin.flush()
-        return json.loads(self._read_until("RESULT "))["events_per_sec"]
+        m = json.loads(self._read_until("RESULT "))
+        return m["events_per_sec"], m.get("steal_frac", 0.0)
 
     def close(self) -> None:
         try:
@@ -131,8 +151,26 @@ class _Child:
             self.proc.kill()
 
 
+def _level_summary(trials: list[tuple[float, float]], max_steal: float) -> dict:
+    """Median over CLEAN trials (pinned-core steal ≤ max_steal) when at
+    least two exist, else over all — with every trial and its measured
+    steal fraction reported either way. Host steal only ever SLOWS a trial,
+    so a steal-contaminated sample underestimates the machine; filtering on
+    the direct /proc/stat measurement is the principled version of
+    discarding outliers."""
+    clean = [r for r, st in trials if st <= max_steal]
+    used = clean if len(clean) >= 2 else [r for r, _ in trials]
+    return {
+        "events_per_sec": statistics.median(used),
+        "trials": [round(r, 1) for r, _ in trials],
+        "steal": [round(st, 4) for _, st in trials],
+        "n_clean": len(clean),
+    }
+
+
 def run_interleaved(n: int, n_events: int, n_convs: int, trials: int,
-                    n_buckets: int = 64, max_part_mb: int = 16) -> tuple[dict, dict]:
+                    n_buckets: int = 64, max_part_mb: int = 16,
+                    max_steal: float = 0.05) -> tuple[dict, dict]:
     total = (__import__("os").cpu_count() or 32)
     # start strictly sequentially: the second child begins only after the
     # first is READY, so fixture generation never races and the warmup
@@ -146,18 +184,15 @@ def run_interleaved(n: int, n_events: int, n_convs: int, trials: int,
     big = _Child(n * 4, max(total - n * 4, 0), n_events, n_convs, n_buckets, max_part_mb)
     try:
         big.wait_ready()
-        rates_n: list[float] = []
-        rates_4n: list[float] = []
+        rates_n: list[tuple[float, float]] = []
+        rates_4n: list[tuple[float, float]] = []
         for _ in range(trials):
             rates_n.append(small.trial())
             rates_4n.append(big.trial())
     finally:
         small.close()
         big.close()
-    return (
-        {"events_per_sec": statistics.median(rates_n), "trials": [round(r, 1) for r in rates_n]},
-        {"events_per_sec": statistics.median(rates_4n), "trials": [round(r, 1) for r in rates_4n]},
-    )
+    return _level_summary(rates_n, max_steal), _level_summary(rates_4n, max_steal)
 
 
 def main() -> None:
@@ -168,11 +203,14 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--max-part-mb", type=int, default=16)
+    ap.add_argument("--max-steal", type=float, default=0.05,
+                    help="per-trial pinned-core steal fraction above which a "
+                         "trial is excluded from the median (measured, not guessed)")
     ap.add_argument("--out", default=None, help="write a markdown report here")
     args = ap.parse_args()
 
     small, big = run_interleaved(args.n, args.events, args.convs, args.trials,
-                                 args.buckets, args.max_part_mb)
+                                 args.buckets, args.max_part_mb, args.max_steal)
     t_n, t_4n = small["events_per_sec"], big["events_per_sec"]
     eff = (t_4n / t_n) / 4 if t_n else 0.0
     result = {
@@ -183,6 +221,10 @@ def main() -> None:
         "events_per_sec_4N": round(t_4n, 1),
         "trials_N": small["trials"],
         "trials_4N": big["trials"],
+        "steal_N": small["steal"],
+        "steal_4N": big["steal"],
+        "clean_N": small["n_clean"],
+        "clean_4N": big["n_clean"],
         "speedup": round(t_4n / t_n, 2) if t_n else None,
         "efficiency": round(eff, 3),
         "gate_0.8": eff >= 0.8,
@@ -198,12 +240,16 @@ Same job, same input ({args.events:,} change events over {args.convs:,}
 conversations, seed=42). Two pinned parallelism levels (`sched_setaffinity`
 — the cgroup-cpuset executor model), one fresh JVM each with a full warmup
 replay, then trials strictly ALTERNATING between levels so host-noise
-windows cover both equally; per-level median of {args.trials}:
+windows cover both equally. This VM sees multi-minute hypervisor CPU-steal
+bursts (identical trials vary up to ~3x); each trial therefore measures its
+own steal fraction directly from the pinned cores' /proc/stat counters, and
+the per-level median is taken over CLEAN trials (steal ≤ {args.max_steal:.0%};
+every trial and its steal reading is listed — nothing discarded silently):
 
-| parallelism | events/sec (median) | interleaved trials |
-|---|---|---|
-| local[{args.n}], pinned to {args.n} CPUs (N) | {t_n:,.0f} | {small['trials']} |
-| local[{args.n * 4}], pinned to {args.n * 4} CPUs (4N) | {t_4n:,.0f} | {big['trials']} |
+| parallelism | events/sec (median of clean) | clean/total | interleaved trials (events/sec) | per-trial steal |
+|---|---|---|---|---|
+| local[{args.n}], pinned to {args.n} CPUs (N) | {t_n:,.0f} | {small['n_clean']}/{args.trials} | {small['trials']} | {small['steal']} |
+| local[{args.n * 4}], pinned to {args.n * 4} CPUs (4N) | {t_4n:,.0f} | {big['n_clean']}/{args.trials} | {big['trials']} | {big['steal']} |
 
 - speedup 4N/N: **{t_4n / t_n:.2f}x**
 - scaling efficiency (speedup/4): **{eff:.3f}** (gate: ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
