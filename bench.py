@@ -67,9 +67,14 @@ def main() -> None:
         timings["cdc_replay"] = round(cdc["elapsed_sec"], 3)
         headline_metric = "cdc_merge_events_per_sec"
         headline_value = round(cdc["events_per_sec"], 1)
+        extra = {
+            "cdc_trials_events_per_sec": cdc.get("trials_events_per_sec"),
+            "cdc_trials_steal_frac": cdc.get("trials_steal_frac"),
+        }
     except ImportError:
         headline_metric = "headline_queries_total"
         headline_value = round(sum(timings.values()), 3)
+        extra = {}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -81,6 +86,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(CPUS),
+                **{k: v for k, v in extra.items() if v is not None},
             }
         )
     )

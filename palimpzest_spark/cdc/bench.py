@@ -86,6 +86,22 @@ def _replay_fresh(
         shutil.rmtree(table_dir, ignore_errors=True)
 
 
+def _steal_jiffies() -> int:
+    """Sum of per-cpu hypervisor-steal counters (field 8 of /proc/stat) over
+    this process's allowed cores — same measurement the scaling harness uses."""
+    try:
+        allowed = {f"cpu{c}" for c in os.sched_getaffinity(0)}
+        total = 0
+        with open("/proc/stat") as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] in allowed and len(parts) > 8:
+                    total += int(parts[8])
+        return total
+    except OSError:
+        return 0
+
+
 def run_cdc_bench(
     spark: SparkSession,
     n_events: int = 1_000_000,
@@ -93,6 +109,8 @@ def run_cdc_bench(
     files_per_batch: int = 4,
     n_buckets: int = 16,
     warmup: bool = True,
+    trials: int = 3,
+    max_steal: float = 0.05,
     **fixture_kw: Any,
 ) -> dict[str, Any]:
     """Measure sustained merge-apply throughput on a fresh table.
@@ -105,8 +123,33 @@ def run_cdc_bench(
     UDF workers, and the parquet codecs are all hot when measurement starts,
     so the number is the *sustained* throughput BASELINE.json asks for (a
     production CDC tail runs for days; its first 30 seconds are noise).
+
+    The host shows multi-minute hypervisor-steal bursts that stretch a single
+    replay up to 2x (identical work measured 9-23s back to back), so one
+    trial is a coin flip, not a measurement. We run ``trials`` replays, tag
+    each with its measured steal fraction (/proc/stat, not guessed), drop
+    steal-contaminated trials when any clean one exists (steal only ever
+    SLOWS a trial — filtering is conservative), and report the median clean
+    trial. Trial lists are included in the result for audit.
     """
+    import statistics
+    import time as _time
+
     fix = ensure_fixture(n_events=n_events, n_convs=n_convs, **fixture_kw)
     if warmup:
         _replay_fresh(spark, fix, files_per_batch, n_buckets)
-    return _replay_fresh(spark, fix, files_per_batch, n_buckets)
+    cores = max(len(os.sched_getaffinity(0)), 1)
+    runs: list[dict[str, Any]] = []
+    for _ in range(max(trials, 1)):
+        s0, w0 = _steal_jiffies(), _time.monotonic()
+        r = _replay_fresh(spark, fix, files_per_batch, n_buckets)
+        wall = _time.monotonic() - w0
+        # USER_HZ=100: steal fraction of this trial's core-seconds
+        r["steal_frac"] = (_steal_jiffies() - s0) / max(wall * 100.0 * cores, 1e-9)
+        runs.append(r)
+    clean = [r for r in runs if r["steal_frac"] <= max_steal] or runs
+    clean.sort(key=lambda r: r["events_per_sec"])
+    out = dict(clean[len(clean) // 2])
+    out["trials_events_per_sec"] = [round(r["events_per_sec"], 1) for r in runs]
+    out["trials_steal_frac"] = [round(r["steal_frac"], 4) for r in runs]
+    return out

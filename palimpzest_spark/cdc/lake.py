@@ -127,8 +127,14 @@ class SnapshotLakeTable:
                 "schema": None,
                 "summary": {"last_batch_id": -1, "offsets": {}},
             }
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            snap = json.load(f)
+        try:
+            with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+                snap = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{v} does not exist (current={self.current_version()}); "
+                "it may have been expired by timetravel.expire_snapshots"
+            ) from None
         snap.setdefault("deltas", {})
         snap.setdefault("filestats", {})
         return snap
@@ -157,16 +163,23 @@ class SnapshotLakeTable:
 
     # -- reads ---------------------------------------------------------------
 
-    def schema(self) -> T.StructType | None:
-        s = self.snapshot().get("schema")
+    def schema(self, version: int | None = None) -> T.StructType | None:
+        s = self.snapshot(version).get("schema")
         return T.StructType.fromJson(s) if s else None
 
     def read_raw(
-        self, spark: SparkSession, buckets: list[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame | None:
         """Scan base + delta files of the given buckets (file pruning), WITHOUT
-        the LWW fold — a key may appear once per delta file. Callers fold."""
-        snap = self.snapshot()
+        the LWW fold — a key may appear once per delta file. Callers fold.
+        ``version`` time-travels to an older snapshot (Iceberg snapshot-id
+        read); snapshots are immutable manifests, so an old read is just the
+        old file list — provided the files haven't been vacuumed
+        (``timetravel.expire_snapshots``)."""
+        snap = self.snapshot(version)
         sel = range(self.n_buckets) if buckets is None else buckets
         paths = [
             os.path.join(self.root, p)
@@ -175,23 +188,29 @@ class SnapshotLakeTable:
         ]
         if not paths:
             return None
-        return spark.read.schema(self.schema()).parquet(*paths)
+        return spark.read.schema(self.schema(version)).parquet(*paths)
 
     # merge.py's historical name for the pre-merge scan of affected buckets
     read_buckets = read_raw
 
-    def has_deltas(self) -> bool:
-        return any(ps for ps in self.snapshot()["deltas"].values())
+    def has_deltas(self, version: int | None = None) -> bool:
+        return any(ps for ps in self.snapshot(version)["deltas"].values())
 
-    def read(self, spark: SparkSession, include_meta: bool = False) -> DataFrame:
-        """Current table state (public view: tombstones filtered, meta hidden).
-        Base files are key-unique by construction; the LWW fold runs only when
-        un-compacted delta files exist (merge-on-read)."""
-        df = self.read_raw(spark)
+    def read(
+        self,
+        spark: SparkSession,
+        include_meta: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Table state as of ``version`` (default: current). Public view:
+        tombstones filtered, meta hidden. Base files are key-unique by
+        construction; the LWW fold runs only when un-compacted delta files
+        exist (merge-on-read)."""
+        df = self.read_raw(spark, version=version)
         if df is None:
-            schema = self.schema() or T.StructType([])
+            schema = self.schema(version) or T.StructType([])
             return spark.createDataFrame([], schema)
-        if self.has_deltas():
+        if self.has_deltas(version):
             df = lww_fold(df)
         if include_meta:
             return df

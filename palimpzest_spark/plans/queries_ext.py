@@ -527,6 +527,37 @@ def cdc_replay_final_state(spark, sf_dir):
     return table.read(spark).orderBy("conv_id", "turn_idx")
 
 
+@_q("cdc_time_travel_changes")  # rows-only: snapshot manifests engine-internal
+def cdc_time_travel_changes(spark, sf_dir):
+    """Change-data-feed between lake snapshots: replay a deterministic feed
+    in 2 batches, then read the net row-level inserts/updates/deletes from
+    the first batch's snapshot to the current one (``cdc/timetravel.py``,
+    manifest-pruned to changed buckets). Fold-oracle equality gates live in
+    tests/test_timetravel.py."""
+    import tempfile
+
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+    from palimpzest_spark.cdc.timetravel import table_changes
+
+    d = tempfile.mkdtemp(prefix="pz_cdc_tt_")
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=40, max_turns=8, seed=11)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=3000, n_convs=40, max_turns=8, n_files=4, seed=11
+    )
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=2)
+    v_mid = table.current_version() - 1  # snapshot after batch 0
+    return (
+        table_changes(table, spark, v_mid)
+        .select("conv_id", "turn_idx", "_change_type", "text")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 @_q("multimodal_features")  # rows-only: pixel statistics are engine-internal
 def multimodal_features(spark, sf_dir):
     """REAL image decode: deterministic PNGs (stdlib codec, seeded by

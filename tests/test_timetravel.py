@@ -1,0 +1,184 @@
+"""Time travel, change-data-feed, and snapshot expiration gates.
+
+The oracle is the engine-free pandas fold (``cdc/oracle.py``) applied to the
+event-file PREFIX each snapshot corresponds to: read-at-version must equal
+the fold of exactly the batches committed by then, and ``table_changes``
+applied on top of the older fold must reproduce the newer fold.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palimpzest_spark.cdc import feedgen
+from palimpzest_spark.cdc.lake import SnapshotLakeTable
+from palimpzest_spark.cdc.merge import bootstrap, merge_batch
+from palimpzest_spark.cdc.oracle import fold
+from palimpzest_spark.cdc.runner import FEED_SCHEMA, replay_batches
+from palimpzest_spark.cdc.timetravel import (
+    changed_buckets,
+    expire_snapshots,
+    table_changes,
+)
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def tt(spark, tmp_path_factory):
+    """Replay 4 batches; record (version, oracle fold) after each."""
+    d = tmp_path_factory.mktemp("tt")
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=50, max_turns=8, seed=7)
+    feed_paths = feedgen.gen_change_feed(
+        str(d / "feed"), n_events=4000, n_convs=50, max_turns=8, n_files=8, seed=7
+    )
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=N_BUCKETS)
+    bootstrap(spark, table, base)
+
+    base_pdf = pd.read_parquet(base)
+    checkpoints = []  # (version, expected_state)
+    for i in range(0, 8, 2):
+        group = feed_paths[i : i + 2]
+        batch = spark.read.schema(FEED_SCHEMA).parquet(*group)
+        merge_batch(spark, table, batch, batch_id=i // 2)
+        feed_so_far = pd.concat(
+            [pd.read_parquet(p) for p in feed_paths[: i + 2]], ignore_index=True
+        )
+        checkpoints.append((table.current_version(), fold(base_pdf, feed_so_far)))
+    return {"table": table, "checkpoints": checkpoints, "dir": d}
+
+
+def _public_state(spark, table, version=None) -> pd.DataFrame:
+    out = table.read(spark, version=version).toPandas()
+    return out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _texts(df: pd.DataFrame) -> list:
+    return df["text"].where(df["text"].notna(), None).tolist()
+
+
+def test_read_at_each_version_matches_fold_prefix(spark, tt):
+    for version, expected in tt["checkpoints"]:
+        actual = _public_state(spark, tt["table"], version=version)
+        assert len(actual) == len(expected), f"v{version}: row count"
+        a_keys = list(zip(actual["conv_id"], actual["turn_idx"].astype("int64")))
+        e_keys = list(zip(expected["conv_id"], expected["turn_idx"].astype("int64")))
+        assert a_keys == e_keys, f"v{version}: key sets differ"
+        assert _texts(actual) == _texts(expected), f"v{version}: text mismatch"
+
+
+def test_table_changes_replays_old_state_to_new(spark, tt):
+    table = tt["table"]
+    (v1, fold1), (v3, fold3) = tt["checkpoints"][0], tt["checkpoints"][2]
+    ch = table_changes(table, spark, v1, v3).toPandas()
+    assert len(ch) > 0, "vacuous: no changes between batches"
+    assert set(ch["_change_type"]) <= {"insert", "update", "delete"}
+
+    def keyed(df):
+        return {
+            (r["conv_id"], int(r["turn_idx"])): r
+            for _, r in df.iterrows()
+        }
+
+    state = keyed(fold1)
+    old_keys = set(state)
+    for _, r in ch.iterrows():
+        k = (r["conv_id"], int(r["turn_idx"]))
+        if r["_change_type"] == "insert":
+            assert k not in old_keys, f"insert of pre-existing key {k}"
+            state[k] = r
+        elif r["_change_type"] == "update":
+            assert k in old_keys, f"update of unseen key {k}"
+            state[k] = r
+        else:
+            assert k in old_keys, f"delete of unseen key {k}"
+            del state[k]
+
+    want = keyed(fold3)
+    assert set(state) == set(want), "changes applied to v_from != v_to key set"
+    for k in want:
+        a, e = state[k].get("text"), want[k].get("text")
+        a = None if pd.isna(a) else a
+        e = None if pd.isna(e) else e
+        assert a == e, f"text mismatch at {k} after applying changes"
+
+
+def test_single_key_batch_prunes_to_one_bucket(spark, tt):
+    table = tt["table"]
+    v_before = table.current_version()
+    payload = _json.dumps(
+        {"conv_id": "conv-00000003", "turn_idx": 0, "role": "user",
+         "text": "timetravel-probe", "tool": None}
+    )
+    pdf = pd.DataFrame(
+        [{
+            "op": "U", "conv_id": "conv-00000003", "turn_idx": 0,
+            "payload": payload,
+            "ts": pd.Timestamp(feedgen.BASE_EPOCH + 9_000_000, unit="s"),
+            "event_seq": 10_000_000, "partition": 0, "offset": 10_000_000,
+        }]
+    )
+    batch = spark.createDataFrame(pdf, FEED_SCHEMA)
+    merge_batch(spark, table, batch, batch_id=99)
+    v_after = table.current_version()
+
+    pruned = changed_buckets(table, v_before, v_after)
+    assert len(pruned) == 1, f"expected 1 changed bucket, got {pruned}"
+
+    ch = table_changes(table, spark, v_before, v_after).toPandas()
+    assert len(ch) == 1
+    assert ch.iloc[0]["conv_id"] == "conv-00000003"
+    # update if the key was live at v_before, insert if the feed had deleted it
+    pre = _public_state(spark, table, version=v_before)
+    was_live = ((pre["conv_id"] == "conv-00000003") & (pre["turn_idx"] == 0)).any()
+    assert ch.iloc[0]["_change_type"] == ("update" if was_live else "insert")
+    assert ch.iloc[0]["text"] == "timetravel-probe"
+
+
+def test_changes_from_zero_are_all_inserts(spark, tt):
+    table = tt["table"]
+    v1 = tt["checkpoints"][0][0]
+    ch = table_changes(table, spark, 1, v1)  # v1 here = bootstrap snapshot
+    types = set(r["_change_type"] for r in ch.select("_change_type").distinct().collect())
+    assert types <= {"insert", "update", "delete"}
+
+
+def test_expire_snapshots_gc_and_horizon(spark, tt):
+    table = tt["table"]
+    v_old = tt["checkpoints"][0][0]
+    before = _public_state(spark, table)  # current state incl. any prior test's writes
+
+    res = expire_snapshots(table, keep_last=2)
+    assert res["removed_snapshots"] > 0
+    assert res["removed_files"] > 0
+
+    # current read byte-identical across the expire (only unreferenced files GC'd)
+    actual = _public_state(spark, table)
+    assert _texts(actual) == _texts(before)
+    assert len(actual) == len(before)
+
+    # expired version: clear error, not a partial read
+    with pytest.raises(ValueError, match="expired|does not exist"):
+        table.read(spark, version=v_old).count()
+
+    # no orphans: every parquet left on disk is referenced by a retained snapshot
+    referenced = set()
+    for v in res["retained_versions"]:
+        snap = table.snapshot(v)
+        for coll in (snap["files"], snap["deltas"]):
+            for ps in coll.values():
+                referenced.update(ps)
+    on_disk = set()
+    for dirpath, _dn, fns in os.walk(table.data_dir):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(dirpath, fn), table.root))
+    assert on_disk == referenced, "orphan or missing data files after expire"
