@@ -152,3 +152,45 @@ def asof_join(
             *[F.col(f"_r.{c}").alias(c) for c in rpayload],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    chunk_seconds: int,
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Interval/range join: left rows whose timestamp ``left_point`` falls in
+    ``[right_start, right_end)`` (``right_end`` inclusive when
+    ``end_inclusive``). Absent in the reference (SURVEY.md §2.3 "missing
+    join types"); in Spark the naive formulation is a BroadcastNestedLoopJoin
+    (O(|L|·|R|), only viable when one side broadcasts).
+
+    Scale path — chunked equi-join: both sides map onto fixed time chunks of
+    ``chunk_seconds`` (left: the point's chunk; right: every chunk the
+    interval overlaps, via ``explode(sequence(...))``), equi-join on the
+    chunk id, then the exact range predicate. Each point lives in EXACTLY one
+    chunk, so no dedup is needed; an interval of length ≤ chunk_seconds
+    lands in ≤ 2 chunks, so the shuffled right side is ≤ 2×|R|. Both sides
+    shuffle by chunk id — a plain hash-partitioned equi-join that survives
+    large×large inputs where the nested-loop plan cannot; AQE splits
+    dense-chunk skew. Pick ``chunk_seconds`` ≈ the max interval length.
+    """
+    lc = F.floor(F.unix_timestamp(F.col(left_point)) / F.lit(chunk_seconds))
+    rc_lo = F.floor(F.unix_timestamp(F.col(right_start)) / F.lit(chunk_seconds))
+    rc_hi = F.floor(F.unix_timestamp(F.col(right_end)) / F.lit(chunk_seconds))
+    l = left.withColumn("_chunk", lc.cast("long"))
+    r = right.withColumn("_chunk", F.explode(F.sequence(rc_lo.cast("long"), rc_hi.cast("long"))))
+    upper = (
+        F.col(left_point) <= F.col(right_end)
+        if end_inclusive
+        else F.col(left_point) < F.col(right_end)
+    )
+    return (
+        l.join(r, on="_chunk", how="inner")
+        .filter((F.col(left_point) >= F.col(right_start)) & upper)
+        .drop("_chunk")
+    )

@@ -822,3 +822,132 @@ def asof_join_click_view(spark, sf_dir):
     )
     out = asof_join(clicks, views, on=["user_id"], left_ts="ts", right_ts="view_ts")
     return out.select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+
+
+# ---------------------------------------------------------------------------
+# range join + deterministic sampling (round-2 additions, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "range_join_event_windows",
+    oracle="""
+WITH b AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+w AS (SELECT unnest(generate_series(d0, d0 + INTERVAL 9 DAY, INTERVAL 100 MINUTE)) AS ws FROM b),
+win AS (SELECT ws, ws + INTERVAL 90 MINUTE AS we FROM w)
+SELECT win.ws AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {v} AS sum_value
+FROM win JOIN events e ON e.ts >= win.ws AND e.ts < win.we
+GROUP BY win.ws
+""".format(v=_ROUND4.format(x="sum(e.value)")),
+)
+def range_join_event_windows(spark, sf_dir):
+    """True interval join (no equi-key): events against 90-minute analysis
+    windows starting every 100 minutes — via the chunked equi-join
+    formulation (operators/join.py::range_join), which shuffles both sides
+    by time chunk instead of the nested-loop plan. Oracle: naive theta join.
+    """
+    from palimpzest_spark.operators.join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        ev.agg(F.date_trunc("DAY", F.min("ts")).alias("d0"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("d0"),
+                    F.col("d0") + F.expr("INTERVAL 9 DAYS"),
+                    F.expr("INTERVAL 100 MINUTES"),
+                )
+            ).alias("ws")
+        )
+        .withColumn("we", F.col("ws") + F.expr("INTERVAL 90 MINUTES"))
+    )
+    j = range_join(ev, win, "ts", "ws", "we", chunk_seconds=6000)
+    return j.groupBy(F.col("ws").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r4("sum(value)").alias("sum_value"),
+    )
+
+
+@_q(
+    "sample_bernoulli_docs",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+""",
+)
+def sample_bernoulli_docs(spark, sf_dir):
+    """Deterministic 20% Bernoulli sample by doc_id hash
+    (functions/sampling.py): retry/partitioning-stable, narrow, pushdown-
+    friendly — unlike df.sample, whose output depends on partition layout."""
+    from palimpzest_spark.functions.sampling import bernoulli_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return bernoulli_sample(docs, "doc_id", 0.2).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "sample_stratified_docs",
+    oracle="""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+  CASE WHEN lang = 'en' THEN '19999999'
+       WHEN lang = 'es' THEN '80000000'
+       WHEN lang = 'zh' THEN 'ffffffff'
+       ELSE '00000000' END
+""",
+)
+def sample_stratified_docs(spark, sf_dir):
+    """Language-rebalancing stratified sample: 10% en, 50% es, 100% zh,
+    drop the rest — one CASE-threshold filter pass, no per-stratum jobs."""
+    from palimpzest_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "es": 0.5, "zh": 1.0}
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "sample_weighted_mixture",
+    oracle="""
+SELECT doc_id, source, 0 AS mix_source FROM documents
+WHERE source IN ('src0','src1','src2','src3','src4')
+  AND substring(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+UNION ALL
+SELECT doc_id, source, 1 AS mix_source FROM documents
+WHERE source NOT IN ('src0','src1','src2','src3','src4')
+  AND substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+""",
+)
+def sample_weighted_mixture(spark, sf_dir):
+    """Training-mixture composition: 80% of a 'curated' source slice union
+    30% of the long tail, each row tagged with its mixture source — per-
+    source salted hash samples, narrow, metadata-only union."""
+    from palimpzest_spark.functions.sampling import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    head = ["src0", "src1", "src2", "src3", "src4"]
+    a = docs.filter(F.col("source").isin(head))
+    b = docs.filter(~F.col("source").isin(head))
+    out = weighted_mixture([(a, 0.8), (b, 0.3)], "doc_id")
+    return out.select("doc_id", "source", F.col("mix_source").cast("int").alias("mix_source"))
+
+
+@_q(
+    "sample_topk_deterministic",
+    oracle="""
+SELECT doc_id, lang FROM documents
+ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+LIMIT 50
+""",
+)
+def sample_topk_deterministic(spark, sf_dir):
+    """Exactly-k uniform sample (distributed reservoir twin): the 50 docs
+    with the smallest hash coordinate — TakeOrderedAndProject, no full sort."""
+    from palimpzest_spark.functions.sampling import deterministic_topk_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_topk_sample(docs, "doc_id", 50).select("doc_id", "lang")
