@@ -1,0 +1,107 @@
+"""Sequence packing: group documents into fixed token-budget bins.
+
+The standard LLM-pretraining data step (pack many short documents into one
+context window to avoid pad waste). Global first-fit-decreasing is
+inherently sequential, so the distributed form partitions documents into
+independent PACKING GROUPS by key hash; each group packs locally with FFD
+inside one ``applyInPandas`` task (vectorized, bounded state = one group),
+and bin ids are made globally unique as ``group_id * 2^32 + local_bin``.
+
+Scale shape: one hash shuffle on the group id; each task holds only its
+group's (id, token) pairs — ~(budget · docs_per_bin · bins_per_group) rows,
+tuned via ``docs_per_group``. Packing quality loss vs global FFD is small
+when every group holds many bins' worth of documents (FFD waste ≤ ~22%
+worst-case, typically <5% at 64+ bins/group). Deterministic: group
+assignment hashes the id, in-group order sorts (tokens desc, id).
+
+No reference analogue (the reference has no token/packing machinery);
+target-engine construction for the training-data tier.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    docs_per_group: int = 100_000,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Assign every row to a bin such that each bin's token sum ≤ ``budget``.
+
+    Returns (id_col, token_col, bin_id, bin_tokens, bin_docs). A document
+    longer than ``budget`` gets a singleton bin (callers truncate/split
+    upstream; the packer never drops rows). ``n_groups`` overrides the
+    ``count()``-based sizing (one extra cheap job) — pass it when the caller
+    already knows the cardinality.
+    """
+    if n_groups is None:
+        n_rows = df.count()
+        n_groups = max(n_rows // docs_per_group, 1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_gid", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(token_col, T.LongType()),
+            T.StructField("local_bin", T.LongType()),
+        ]
+    )
+
+    cap = int(budget)
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        assign = []
+        for tok in pdf[token_col].to_numpy():
+            t = int(tok)
+            # first-fit over open bins; linear scan is fine at <=100k docs/group
+            for bi in range(len(bins)):
+                if bins[bi] >= t:
+                    bins[bi] -= t
+                    assign.append(bi)
+                    break
+            else:
+                # new bin (oversized doc -> singleton bin with negative slack)
+                bins.append(max(cap - t, 0))
+                assign.append(len(bins) - 1)
+        return pd.DataFrame(
+            {
+                "_gid": pdf["_gid"].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                token_col: pdf[token_col].to_numpy(),
+                "local_bin": assign,
+            }
+        )
+
+    grouped = (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(token_col).cast("long").alias(token_col),
+        )
+        .withColumn(
+            "_gid", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("long")
+        )
+        .groupBy("_gid")
+        .applyInPandas(ffd, out_schema)
+    )
+    packed = grouped.withColumn(
+        "bin_id", (F.col("_gid") * F.lit(1 << 32) + F.col("local_bin")).cast("long")
+    ).drop("_gid", "local_bin")
+
+    stats = packed.groupBy("bin_id").agg(
+        F.sum(token_col).alias("bin_tokens"), F.count(F.lit(1)).alias("bin_docs")
+    )
+    return packed.join(stats, "bin_id").select(
+        id_col, token_col, "bin_id", "bin_tokens", "bin_docs"
+    )

@@ -951,3 +951,81 @@ def sample_topk_deterministic(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return deterministic_topk_sample(docs, "doc_id", 50).select("doc_id", "lang")
+
+
+@_q(
+    "pivot_event_types",
+    oracle="""
+SELECT user_id,
+       {c} AS click_value, {v} AS view_value,
+       {p} AS purchase_value, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id < 100
+GROUP BY user_id
+""".format(
+        c=_ROUND4.format(x="coalesce(sum(CASE WHEN event_type='click' THEN value END), 0)"),
+        v=_ROUND4.format(x="coalesce(sum(CASE WHEN event_type='view' THEN value END), 0)"),
+        p=_ROUND4.format(x="coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0)"),
+    ),
+)
+def pivot_event_types(spark, sf_dir):
+    """Pivot (wide aggregation — absent in the reference; ``df.groupBy().
+    pivot(values=...)`` with EXPLICIT pivot values so no extra distinct-scan
+    job runs and the plan is a single partial+final hash aggregate, identical
+    to the oracle's CASE formulation)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum("value"))
+    )
+    n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return wide.join(n, "user_id").select(
+        "user_id",
+        _r4("coalesce(click, 0)").alias("click_value"),
+        _r4("coalesce(view, 0)").alias("view_value"),
+        _r4("coalesce(purchase, 0)").alias("purchase_value"),
+        "n_events",
+    )
+
+
+@_q(
+    "percentile_by_type",
+    oracle="""
+SELECT event_type,
+       {p50} AS p50_value, {p95} AS p95_value,
+       {avg} AS avg_value
+FROM events GROUP BY event_type
+""".format(
+        p50=_ROUND4.format(x="quantile_cont(value, 0.5)"),
+        p95=_ROUND4.format(x="quantile_cont(value, 0.95)"),
+        avg=_ROUND4.format(x="avg(value)"),
+    ),
+)
+def percentile_by_type(spark, sf_dir):
+    """Exact grouped percentiles (linear interpolation — Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``). The approx path for 100 TB is
+    ``approx_percentile`` (t-digest, partial-aggregable); the exact form is
+    kept for the oracle gate and small groups."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r4("percentile(value, 0.5)").alias("p50_value"),
+        _r4("percentile(value, 0.95)").alias("p95_value"),
+        _r4("avg(value)").alias("avg_value"),
+    )
+
+
+@_q("pack_documents_tokens")  # rows-only: bin assignment is engine-internal
+def pack_documents_tokens(spark, sf_dir):
+    """Sequence packing (functions/packing.py): whitespace token counts →
+    2048-token bins via grouped first-fit-decreasing. Invariant gates
+    (every doc exactly once, no bin over budget, utilization bound) live in
+    tests/test_packing.py; the driver checks rows (= one per doc) + schema."""
+    from palimpzest_spark.functions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=4).orderBy(
+        "doc_id"
+    )
