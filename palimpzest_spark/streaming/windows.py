@@ -183,3 +183,49 @@ def run_to_memory_sink(stream_df: DataFrame, query_name: str, output_mode: str =
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: drop re-deliveries of the same key
+    arriving within the watermark horizon (``dropDuplicatesWithinWatermark``
+    — state per key is evicted once the watermark passes, so state is
+    bounded by event-time disorder, not stream length). This is the
+    at-least-once → exactly-once front gate for a CDC feed whose source can
+    re-deliver events; the merge's idempotent LWW handles anything older
+    than the horizon."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "right_ts",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: left rows matched to right rows with the
+    same ``on`` key where ``right_ts ≤ left_ts ≤ right_ts + within``. Both
+    sides carry watermarks and the time-bound predicate, so each side's
+    buffered state is evicted once the watermark clears the interval —
+    bounded state, the streaming twin of the batch as-of/range join
+    (operators/join.py)."""
+    lw = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, watermark
+    )
+    rw = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")).withWatermark(
+        right_ts, watermark
+    )
+    cond = (
+        (lw[on] == rw[on])
+        & (lw[left_ts] >= rw[right_ts])
+        & (lw[left_ts] <= rw[right_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, on=cond, how="inner").drop(rw[on])

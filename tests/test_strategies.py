@@ -371,3 +371,84 @@ def test_asof_join_exact_ts_ties_both_directions(spark):
     assert fwd[10] == "r10"  # tie: exact-ts right row matches forward too
     assert fwd[15] == "r20"
     assert pd.isna(fwd[25])
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered events across microbatches collapse to one copy each."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_spark.streaming import windows as W
+
+    base = 1_700_000_000
+    n = 500
+    rng = np.random.default_rng(11)
+    ts = (base + rng.integers(0, 600, n)).astype("datetime64[s]").astype("datetime64[us]")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(rng.random(n), pa.float64()),
+        }
+    )
+    d = tmp_path / "dups"
+    d.mkdir()
+    # file 0: first 300; file 1: rows 200-500 (rows 200-300 re-delivered)
+    pq.write_table(tbl.slice(0, 300), str(d / "part-0.parquet"))
+    pq.write_table(tbl.slice(200, 300), str(d / "part-1.parquet"))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = W.stream_from_directory(spark, str(d), schema, max_files_per_trigger=1)
+    ded = W.dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    W.run_to_memory_sink(ded, "dedup_test", output_mode="append")
+    got = spark.sql("select event_id from dedup_test").toPandas()
+    assert len(got) == n, f"expected {n} unique events, got {len(got)}"
+    assert got["event_id"].is_unique
+
+
+def test_stream_interval_join_matches_batch_twin(spark, event_stream_dir):
+    """Stream-stream interval join == the batch join with the same predicate."""
+    from palimpzest_spark.streaming import windows as W
+
+    path, pdf = event_stream_dir
+    schema = spark.read.parquet(path).schema
+    clicks_s = (
+        W.stream_from_directory(spark, path, schema)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    views_s = (
+        W.stream_from_directory(spark, path, schema)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+    )
+    j = W.stream_interval_join(
+        clicks_s, views_s, on="user_id", left_ts="ts", right_ts="view_ts",
+        within="5 minutes", watermark="2 hours",
+    ).select("click_id", "view_id")
+    W.run_to_memory_sink(j, "sjoin_test", output_mode="append")
+    got = sorted(
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select * from sjoin_test").collect()
+    )
+
+    b = spark.createDataFrame(pdf)
+    bc = b.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    want = sorted(
+        (r["click_id"], r["view_id"])
+        for r in bc.join(
+            bv,
+            (F.col("user_id") == F.col("v_uid"))
+            & (F.col("ts") >= F.col("view_ts"))
+            & (F.col("ts") <= F.col("view_ts") + F.expr("INTERVAL 5 MINUTES")),
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == want
