@@ -48,8 +48,13 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
 
     timings: dict[str, float] = {}
-    # warm the JVM/parquet footers once so timings measure the plan, not JIT
-    QUERIES["q1_pricing_summary"](spark, SF_DIR).count()
+    # Warm pass: run every query once untimed. First executions pay JVM JIT
+    # (interpreted/C1 until C2 compiles each generated-code shape), parquet
+    # footer reads, and Python-worker spinup — measured 2-6x inflation on
+    # the first run of identical plans. The timed pass is steady state.
+    for name in HEADLINE:
+        if name in QUERIES:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     for name in HEADLINE:
         if name not in QUERIES:

@@ -258,52 +258,66 @@ def _merge_fused(
     cols = [f.name for f in full.fields]
     turn_t0 = next(f.dataType for f in public.fields if f.name == "turn_idx")
 
-    # Fast-fail sample probe: schema evolution marks every row from its onset
-    # point onward, so probing the batch's HEAD (first 2048 rows) and TAIL
-    # (last 2048 by event_seq, a TakeOrdered — scans envelope columns but
-    # parses only the kept payloads) catches both evolved-from-the-start
-    # batches and MID-BATCH onset for the cost of a tiny job, instead of a
-    # full optimistic write that the exact observe gate below would throw
-    # away (measured: that wasted write is ~half the evolution batch's wall
-    # clock). A lone anomalous row in the middle that both samples miss is
-    # still caught exactly by the observed metrics.
-    #
-    # On a CLEAN STREAK (the previous batch was fused with zero anomalies)
-    # even this tiny job is skipped: it is ~0.5-1s of serial driver time per
-    # batch that buys nothing while the schema is stable, and the exact
-    # observe gate still catches the (rare) evolution instant — cost there
-    # is one wasted optimistic write, once per evolution, not per batch.
-    if bool(table.snapshot()["summary"].get("fused_clean")):
-        sample_anom = 0
-    else:
-        probe_src = batch.select("turn_idx", "payload", "event_seq")
-        sample = probe_src.limit(2048).unionByName(
-            probe_src.orderBy(F.desc("event_seq")).limit(2048)
+    # ONE cheap pre-job: exact per-bucket batch counts (conv_id column only
+    # — the CoW/MoR plan input) with a STRIDED anomaly sample riding along
+    # (every 64th event_seq parses its payload; CASE short-circuits the
+    # parse for the rest). Strided sampling catches schema evolution
+    # wherever its onset falls in the batch for ~n/64 parses, so an
+    # evolution batch bails here in ~0.3s instead of paying a full
+    # optimistic write that the exact observe gate below would throw away
+    # (measured: that wasted write was ~half the evolution batch's wall
+    # clock). A lone anomalous row the stride misses is still caught
+    # exactly by the observed metrics.
+    sampled = F.pmod(F.xxhash64("event_seq"), F.lit(64)) == 0
+    pre = batch.withColumn(
+        "_m", F.when(sampled, F.from_json("payload", "map<string,string>"))
+    ).select(
+        F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_b"),
+        F.when(
+            sampled,
+            _anomaly_expr(public)
+            + (
+                F.col("turn_idx").isNotNull()
+                & F.col("turn_idx").try_cast(turn_t0).isNull()
+            ).cast("long"),
         )
-        sample_anom = (
-            sample.withColumn("_m", F.from_json("payload", "map<string,string>"))
-            .agg(
-                (
-                    F.sum(_anomaly_expr(public))
-                    + F.sum(
-                        (
-                            F.col("turn_idx").isNotNull()
-                            & F.col("turn_idx").try_cast(turn_t0).isNull()
-                        ).cast("long")
-                    )
-                ).alias("a")
-            )
-            .collect()[0]["a"]
-        )
-    if sample_anom and int(sample_anom) > 0:
+        .otherwise(F.lit(0))
+        .alias("_sa"),
+    )
+    grid = (
+        pre.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_sa").alias("sa"))
+        .collect()
+    )
+    batch_rows_by_bucket = {int(r["_b"]): int(r["n"]) for r in grid}
+    if sum(int(r["sa"] or 0) for r in grid) > 0:
         return None
     t_sample = time.perf_counter()
 
-    decoded = (
-        batch.withColumn("_m", F.from_json("payload", "map<string,string>"))
-        .withColumn("_anom", _anomaly_expr(public))
-        .withColumn("_p", F.from_json("payload", payload_schema))
+    decoded = batch.withColumn(
+        "_m", F.from_json("payload", "map<string,string>")
+    ).withColumn("_anom", _anomaly_expr(public))
+    # Decode from the ALREADY-PARSED map when every payload field is atomic
+    # (the steady-state transcript schema: strings + ints) — getItem +
+    # try_cast per field, halving the JSON-parse CPU of this job. try_cast
+    # mirrors from_json's per-field null-on-mismatch. A nested field (a
+    # producer emitting real JSON objects) falls back to the typed parse.
+    _ATOMIC = (
+        T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.BooleanType,
     )
+    if all(isinstance(f.dataType, _ATOMIC) for f in payload_schema.fields):
+        decoded = decoded.withColumn(
+            "_p",
+            F.struct(
+                *[
+                    F.col("_m").getItem(f.name).try_cast(f.dataType).alias(f.name)
+                    for f in payload_schema.fields
+                ]
+            ),
+        )
+    else:
+        decoded = decoded.withColumn("_p", F.from_json("payload", payload_schema))
     obs = Observation()
     turn_t = next(f.dataType for f in public.fields if f.name == "turn_idx")
     # ENVELOPE anomaly: a delete (payload-less) whose turn_idx needs widening
@@ -330,21 +344,11 @@ def _merge_fused(
         (F.col("op") == "D").alias("_deleted"),
     )
 
-    # True per-bucket batch rows from a conv_id-only count job — scans ONE
-    # string column, parses no JSON (measured ~0.2-0.3s on a 350k-row batch).
-    # The previous design spread the prior batch's event count uniformly,
-    # which cow-rewrote every bucket of the table for a small or skewed
-    # batch (O(table) writes for an O(batch) change — the exact write
-    # amplification the MoR design exists to kill). Exact counts restrict
-    # cow/mor to buckets the batch actually touches.
-    counts = (
-        batch.groupBy(
-            F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_b")
-        )
-        .count()
-        .collect()
-    )
-    batch_rows_by_bucket = {int(r["_b"]): int(r["count"]) for r in counts}
+    # CoW/MoR split from the pre-job's TRUE per-bucket counts: only buckets
+    # the batch actually touches are planned (the earlier uniform-estimate
+    # design cow-rewrote every bucket of the table for a small or skewed
+    # batch — O(table) writes for an O(batch) change, the exact write
+    # amplification the MoR design exists to kill).
     cow, mor = table.plan_compaction(batch_rows_by_bucket)
 
     out_rels: list[str] = []

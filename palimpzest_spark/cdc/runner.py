@@ -121,8 +121,14 @@ def replay_stream(
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="CDC replay: change feed -> lake table")
-    ap.add_argument("--feed", required=True)
+    ap.add_argument("--feed", help="change-feed directory (omit for --maintenance-only)")
     ap.add_argument("--table", required=True)
+    ap.add_argument("--maintenance", choices=["compact", "expire", "both"],
+                    help="table maintenance instead of (or after) a replay: "
+                         "compact = fold merge-on-read deltas into bases; "
+                         "expire = drop old snapshots + GC unreferenced files")
+    ap.add_argument("--keep-last", type=int, default=5,
+                    help="snapshots retained by --maintenance expire")
     ap.add_argument("--base", help="base conversations parquet to bootstrap from")
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint")
@@ -144,16 +150,28 @@ def main() -> None:
     table = SnapshotLakeTable(args.table, n_buckets=n_buckets)
     if args.base and table.current_version() == 0:
         bootstrap(spark, table, args.base)
-    if args.stream:
-        if not args.checkpoint:
-            ap.error("--stream requires --checkpoint")
-        ms = replay_stream(spark, table, args.feed, args.checkpoint)
-    else:
-        ms = replay_batches(spark, table, args.feed, args.files_per_batch)
-    total = sum(m["events"] for m in ms)
-    secs = sum(m["elapsed_sec"] for m in ms)
-    print(json.dumps({"batches": len(ms), "events": total, "elapsed_sec": round(secs, 3),
-                      "events_per_sec": round(total / secs, 1) if secs else None}))
+    out: dict = {}
+    if args.feed:
+        if args.stream:
+            if not args.checkpoint:
+                ap.error("--stream requires --checkpoint")
+            ms = replay_stream(spark, table, args.feed, args.checkpoint)
+        else:
+            ms = replay_batches(spark, table, args.feed, args.files_per_batch)
+        total = sum(m["events"] for m in ms)
+        secs = sum(m["elapsed_sec"] for m in ms)
+        out.update({"batches": len(ms), "events": total, "elapsed_sec": round(secs, 3),
+                    "events_per_sec": round(total / secs, 1) if secs else None})
+    elif not args.maintenance:
+        ap.error("nothing to do: pass --feed and/or --maintenance")
+    if args.maintenance in ("compact", "both"):
+        v = table.compact(spark)
+        out["compacted_to_version"] = v
+    if args.maintenance in ("expire", "both"):
+        from palimpzest_spark.cdc.timetravel import expire_snapshots
+
+        out["expire"] = expire_snapshots(table, keep_last=args.keep_last)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -283,6 +283,25 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert (got_f["rv"].fillna(-1).to_numpy() == want_f["rv"].fillna(-1).to_numpy()).all()
 
 
+def test_asof_join_exact_ts_ties_both_directions(spark):
+    """VERDICT r1 minor #6: at ts_right == ts_left the right row must be
+    visible in BOTH directions (pandas merge_asof semantics: backward takes
+    the last right ≤, forward the first right ≥ — ties included)."""
+    from palimpzest_spark.operators.join import asof_join
+
+    L = spark.createDataFrame([(1, 100, "L")], "k long, ts long, tag string")
+    R = spark.createDataFrame(
+        [(1, 100, "exact"), (1, 50, "before"), (1, 150, "after")],
+        "k long, rts long, rv string",
+    )
+    back = asof_join(L, R, on=["k"], left_ts="ts", right_ts="rts").collect()
+    assert back[0]["rv"] == "exact", f"backward tie lost: {back}"
+    fwd = asof_join(
+        L, R, on=["k"], left_ts="ts", right_ts="rts", direction="forward"
+    ).collect()
+    assert fwd[0]["rv"] == "exact", f"forward tie lost: {fwd}"
+
+
 def test_embedding_join_band_shortcircuit(spark):
     """In-band pairs go to the model; out-of-band pairs short-circuit.
     Identical texts have cosine 1.0 (> hi → matched without inference)."""
