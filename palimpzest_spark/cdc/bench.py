@@ -64,13 +64,41 @@ def ensure_fixture(
     return {"base": base, "feed_dir": feed_dir}
 
 
+def clone_table(src_root: str, dst_root: str) -> None:
+    """Instant lake-table copy: metadata JSONs copied, immutable data files
+    hardlinked (same filesystem). Lets trials replay into throwaway clones
+    of a big bootstrapped base so the bootstrap runs once per process, not
+    once per trial — the clone itself is metadata-sized work."""
+    import shutil as _sh
+
+    for dirpath, _dirnames, filenames in os.walk(src_root):
+        rel = os.path.relpath(dirpath, src_root)
+        dst_dir = os.path.join(dst_root, rel) if rel != "." else dst_root
+        os.makedirs(dst_dir, exist_ok=True)
+        for fn in filenames:
+            s, d = os.path.join(dirpath, fn), os.path.join(dst_dir, fn)
+            if fn.endswith(".parquet"):
+                os.link(s, d)
+            else:
+                _sh.copy(s, d)
+
+
 def _replay_fresh(
-    spark: SparkSession, fix: dict[str, str], files_per_batch: int, n_buckets: int
+    spark: SparkSession,
+    fix: dict[str, str],
+    files_per_batch: int,
+    n_buckets: int,
+    template_table: str | None = None,
 ) -> dict[str, Any]:
     table_dir = tempfile.mkdtemp(prefix="pz_lake_", dir=_WORK_ROOT)
     try:
-        table = SnapshotLakeTable(table_dir, n_buckets=n_buckets)
-        bootstrap(spark, table, fix["base"])
+        if template_table is not None:
+            os.rmdir(table_dir)
+            clone_table(template_table, table_dir)
+            table = SnapshotLakeTable(table_dir, n_buckets=n_buckets)
+        else:
+            table = SnapshotLakeTable(table_dir, n_buckets=n_buckets)
+            bootstrap(spark, table, fix["base"])
         t0 = time.perf_counter()
         metrics = replay_batches(spark, table, fix["feed_dir"], files_per_batch=files_per_batch)
         elapsed = time.perf_counter() - t0

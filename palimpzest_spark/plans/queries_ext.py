@@ -1029,3 +1029,53 @@ def pack_documents_tokens(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_groups=4).orderBy(
         "doc_id"
     )
+
+
+@_q(
+    "training_export_pipeline",
+    oracle=f"""
+WITH deduped AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_NORM_DUCK})
+),
+scored AS (
+  SELECT doc_id, lang, text,
+         {X.quality_score_sql('text', 'duckdb')} AS quality_score
+  FROM deduped
+),
+kept AS (SELECT * FROM scored WHERE quality_score >= 0.7)
+SELECT doc_id, lang,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       quality_score
+FROM kept
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+  CASE WHEN lang = 'en' THEN '4ccccccc' ELSE 'ffffffff' END
+""",
+)
+def training_export_pipeline(spark, sf_dir):
+    """The composed training-set export: exact dedup (min-id per normalized
+    text) → quality-score filter (≥0.7) → language-rebalancing stratified
+    sample (30% en, ~100% rest) → (doc_id, lang, whitespace token count,
+    score). Every stage is the engine's own operator (functions/dedup,
+    functions/text, functions/sampling) and the whole pipeline stays one
+    narrow+one-shuffle plan (the dedup groupBy is the only exchange);
+    the oracle recomputes it declaratively."""
+    from palimpzest_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = dedup.exact_dedup(docs).select("doc_id", "lang", "text")
+    scored = deduped.withColumn(
+        "quality_score", F.expr(X.quality_score_sql("text", "spark"))
+    )
+    kept = scored.filter(F.col("quality_score") >= 0.7)
+    sampled = stratified_sample(
+        kept, "doc_id", "lang",
+        {"en": 0.3}, default_fraction=1.0,
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        # quality_score_sql output is already 4dp-rounded on both engines
+        F.col("quality_score"),
+    )
