@@ -33,8 +33,28 @@ produced a specific artifact (all measured, see git history):
   of the 4N wall clock, capping measurable efficiency near 0.6 by Amdahl
   regardless of the pipeline (the sustained-tail regime is what the metric
   describes anyway).
+- **--steady (the north-rule regime)**: the default fixture's batches RIVAL
+  the table, so every merge rewrites ~the whole table — that measures
+  BOOTSTRAP, not a CDC tail. At the 10^10-row design point a batch is a
+  sliver of the table and takes the O(batch) merge-on-read path; --steady
+  reproduces that (big base bootstrapped once, hardlink-cloned per trial,
+  batch/bucket ≪ ratio·base/bucket) and is the regime the headline gate is
+  quoted from. Measured contrast on identical code: bootstrap-regime strong
+  scaling 0.71, steady-regime 0.77-0.85.
+- **Machine-ceiling calibration**: a pure-CPU sha256 microkernel (one
+  pinned process per core, zero communication) measured on the same core
+  sets. This virtualized box delivers only ~3.6-3.9x for 4x cores even to
+  perfect code; the report shows raw efficiency AND efficiency relative to
+  that measured ceiling so the job's structure is separable from the
+  host's limits.
+- **--weak exists but is NOT used for the gate**: scaling microbatch size
+  with the level (production streaming behavior) measured SUPERLINEAR
+  (1.24) because the N level pays 4x as many per-batch base-compaction
+  rounds — the two levels no longer do identical work, so the ratio is not
+  an efficiency. Kept for illustration; treat any efficiency > ~1.05 as a
+  failed measurement.
 
-Usage:  python -m palimpzest_spark.cdc.scaling [--events 16000000] [--out BENCH/BASELINE.md]
+Usage:  python -m palimpzest_spark.cdc.scaling --steady [--events 8000000] [--out BENCH/BASELINE.md]
 """
 
 from __future__ import annotations
