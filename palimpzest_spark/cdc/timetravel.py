@@ -25,6 +25,7 @@ on the same snapshot/manifest discipline Iceberg uses: snapshot-id reads,
 from __future__ import annotations
 
 import os
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,8 +117,18 @@ def table_changes(
 
     new = _state_at(table, spark, v_to, buckets, schema_new)
     old = _state_at(table, spark, v_from, buckets, schema_new)
-    if new is None:
+    if new is None and old is None:
         return spark.createDataFrame([], empty_schema)
+
+    if new is None:
+        # ADVICE r2: a changed bucket with no files at v_to (e.g. a future
+        # tombstone-purging compaction emptied it) means every row live at
+        # v_from was deleted — emit delete records, don't silently drop them.
+        assert old is not None
+        return (
+            old.filter(~F.col("_deleted"))
+            .select(*public, F.lit("delete").alias(CHANGE_COL))
+        )
 
     if old is None:
         return (
@@ -153,29 +164,57 @@ def table_changes(
     )
 
 
-def expire_snapshots(table: SnapshotLakeTable, keep_last: int = 2) -> dict[str, Any]:
+def expire_snapshots(
+    table: SnapshotLakeTable, keep_last: int = 2, grace_seconds: float = 300.0
+) -> dict[str, Any]:
     """Expire all but the last ``keep_last`` snapshots and GC data files no
     retained snapshot references (Iceberg ``expire_snapshots`` + orphan-file
     removal). Time travel to an expired version raises afterwards.
 
     Driver-side metadata walk; deletion volume is bounded by the table's
     physical file count, and every retained snapshot remains byte-identical
-    readable (files are immutable, only unreferenced ones are unlinked)."""
+    readable (files are immutable, only unreferenced ones are unlinked).
+
+    **Concurrency (ADVICE r2):** an in-flight merge optimistically writes its
+    parquet files BEFORE ``commit_merge`` publishes them in a manifest, so a
+    concurrent expire must not treat those as orphans. Like Iceberg's
+    orphan-file removal, an unreferenced file is only deleted when its mtime
+    predates the oldest RETAINED snapshot's ``committed_at`` — an in-flight
+    merge's files are strictly newer than every already-committed snapshot,
+    while a truly expired snapshot's files are strictly older (merges write
+    their files before committing their own, later, snapshot). For legacy
+    manifests without ``committed_at``, ``grace_seconds`` is the fallback
+    horizon (skip anything younger than it)."""
     cur = table.current_version()
     keep = set(range(max(cur - max(keep_last, 1) + 1, 1), cur + 1))
     referenced: set[str] = set()
+    oldest_retained_commit = None
     for v in keep:
         snap = table.snapshot(v)
+        c = snap.get("committed_at")
+        if c is not None:
+            c = float(c)
+            if oldest_retained_commit is None or c < oldest_retained_commit:
+                oldest_retained_commit = c
         for coll in (snap["files"], snap["deltas"]):
             for ps in coll.values():
                 referenced.update(ps)
+    horizon = (
+        oldest_retained_commit
+        if oldest_retained_commit is not None
+        else time.time() - grace_seconds
+    )
 
     removed_files = 0
+    skipped_in_grace = 0
     for dirpath, _dirnames, filenames in os.walk(table.data_dir, topdown=False):
         for fn in filenames:
             ap = os.path.join(dirpath, fn)
             rel = os.path.relpath(ap, table.root)
             if fn.endswith(".parquet") and rel not in referenced:
+                if os.path.getmtime(ap) >= horizon:
+                    skipped_in_grace += 1
+                    continue
                 os.unlink(ap)
                 removed_files += 1
         if not os.listdir(dirpath):
@@ -193,5 +232,6 @@ def expire_snapshots(table: SnapshotLakeTable, keep_last: int = 2) -> dict[str, 
     return {
         "removed_files": removed_files,
         "removed_snapshots": removed_snapshots,
+        "skipped_in_grace": skipped_in_grace,
         "retained_versions": sorted(keep),
     }

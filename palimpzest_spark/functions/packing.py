@@ -46,10 +46,15 @@ def pack_sequences(
         n_rows = df.count()
         n_groups = max(n_rows // docs_per_group, 1)
 
+    # Keep the id column's ORIGINAL type (ADVICE r2: casting string doc ids
+    # to long silently nulls them, collapsing every row onto one sort key and
+    # breaking the every-doc-exactly-once invariant). The id is hashed only
+    # for group assignment; it flows through the packer untouched.
+    id_field = df.schema[id_col]
     out_schema = T.StructType(
         [
             T.StructField("_gid", T.LongType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_field.dataType),
             T.StructField(token_col, T.LongType()),
             T.StructField("local_bin", T.LongType()),
         ]
@@ -86,7 +91,7 @@ def pack_sequences(
 
     grouped = (
         df.select(
-            F.col(id_col).cast("long").alias(id_col),
+            F.col(id_col),
             F.col(token_col).cast("long").alias(token_col),
         )
         .withColumn(

@@ -56,3 +56,20 @@ def test_packing_quality_utilization(spark, docs):
     assert total_tokens / (n_bins * BUDGET) > 0.8, (
         f"utilization {total_tokens / (n_bins * BUDGET):.2f} too low"
     )
+
+
+def test_string_doc_ids_preserved(spark, docs):
+    """ADVICE r2: string ids must flow through untouched — the old long-cast
+    nulled them, collapsing every row onto one sort key."""
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "n_tokens"
+    )
+    out = pack_sequences(sdocs, "doc_id", "n_tokens", BUDGET, n_groups=8)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert len(ids) == 5000 and len(set(ids)) == 5000
+    assert all(i is not None and i.startswith("doc-") for i in ids)
+    over = out.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).filter((F.col("tot") > BUDGET) & (F.col("n") > 1)).count()
+    assert over == 0

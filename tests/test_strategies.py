@@ -283,7 +283,7 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert (got_f["rv"].fillna(-1).to_numpy() == want_f["rv"].fillna(-1).to_numpy()).all()
 
 
-def test_asof_join_exact_ts_ties_both_directions(spark):
+def test_asof_join_exact_ts_tie_single_row(spark):
     """VERDICT r1 minor #6: at ts_right == ts_left the right row must be
     visible in BOTH directions (pandas merge_asof semantics: backward takes
     the last right ≤, forward the first right ≥ — ties included)."""

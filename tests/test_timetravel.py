@@ -182,3 +182,56 @@ def test_expire_snapshots_gc_and_horizon(spark, tt):
             if fn.endswith(".parquet"):
                 on_disk.add(os.path.relpath(os.path.join(dirpath, fn), table.root))
     assert on_disk == referenced, "orphan or missing data files after expire"
+
+
+def test_expire_protects_inflight_uncommitted_files(spark, tt):
+    """ADVICE r2: a merge writes parquet optimistically BEFORE commit_merge
+    publishes it. A concurrent expire must not GC those young unreferenced
+    files (their mtime postdates every retained snapshot's committed_at)."""
+    table = tt["table"]
+    # simulate an in-flight merge's optimistic write: unreferenced, mtime=now
+    inflight_dir = os.path.join(table.data_dir, "bucket=0")
+    os.makedirs(inflight_dir, exist_ok=True)
+    inflight = os.path.join(inflight_dir, "inflight-optimistic.parquet")
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), inflight)
+
+    res = expire_snapshots(table, keep_last=1)
+    assert os.path.exists(inflight), "expire deleted an uncommitted in-flight file"
+    assert res["skipped_in_grace"] >= 1
+    os.unlink(inflight)
+
+
+def test_table_changes_emits_deletes_when_bucket_emptied(spark, tt):
+    """ADVICE r2: if a future compaction purges a bucket's files entirely
+    (new-state scan yields None), rows live at v_from must surface as
+    'delete' records, not silently vanish from the change feed."""
+    table = tt["table"]
+    v_from = table.current_version()
+    snap = table.snapshot(v_from)
+
+    # pick a bucket with live rows at v_from
+    state = table.read(spark).toPandas()
+    assert len(state) > 0
+    from pyspark.sql import functions as F
+    bk = (
+        table.read(spark)
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).alias("b"), "conv_id")
+        .groupBy("b").count().orderBy(F.desc("count")).first()
+    )
+    target = int(bk["b"])
+    live_in_bucket = (
+        table.read(spark)
+        .filter(F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)) == target)
+        .count()
+    )
+    assert live_in_bucket > 0
+
+    # simulate a tombstone-purging compaction: same manifest, bucket emptied
+    new_snap = dict(snap)
+    new_snap["files"] = {k: v for k, v in snap["files"].items() if k != str(target)}
+    new_snap["deltas"] = {k: v for k, v in snap["deltas"].items() if k != str(target)}
+    v_to = table.commit(new_snap)
+
+    ch = table_changes(table, spark, v_from, v_to).toPandas()
+    assert set(ch["_change_type"]) == {"delete"}
+    assert len(ch) == live_in_bucket, "every live row in the emptied bucket must be a delete"

@@ -462,8 +462,10 @@ def test_dataset_api_aliases_and_relax(spark):
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
     assert "_sem_out" in sem.df.columns
 
-    with pytest.raises(ValueError, match="udf"):
-        ds.add_columns(None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        with pytest.raises(ValueError, match="udf"):
+            ds.add_columns(None)
 
     c = ds.copy()
     assert c.df is ds.df
