@@ -89,7 +89,13 @@ def _replay_fresh(
     files_per_batch: int,
     n_buckets: int,
     template_table: str | None = None,
+    skip_files: int = 0,
+    start_batch_id: int = 0,
 ) -> dict[str, Any]:
+    """``skip_files``/``start_batch_id``: tail-only replay — the template
+    already holds the replayed feed prefix (e.g. the schema-evolution wave),
+    so every measured batch is a steady-tail batch (the regime the
+    BASELINE.json throughput metric describes)."""
     table_dir = tempfile.mkdtemp(prefix="pz_lake_", dir=_WORK_ROOT)
     try:
         if template_table is not None:
@@ -100,7 +106,10 @@ def _replay_fresh(
             table = SnapshotLakeTable(table_dir, n_buckets=n_buckets)
             bootstrap(spark, table, fix["base"])
         t0 = time.perf_counter()
-        metrics = replay_batches(spark, table, fix["feed_dir"], files_per_batch=files_per_batch)
+        metrics = replay_batches(
+            spark, table, fix["feed_dir"], files_per_batch=files_per_batch,
+            skip_files=skip_files, start_batch_id=start_batch_id,
+        )
         elapsed = time.perf_counter() - t0
         total = sum(m["events"] for m in metrics)
         return {
@@ -168,16 +177,27 @@ def run_cdc_bench(
         _replay_fresh(spark, fix, files_per_batch, n_buckets)
     cores = max(len(os.sched_getaffinity(0)), 1)
     runs: list[dict[str, Any]] = []
-    for _ in range(max(trials, 1)):
+    # Keep trialing until ≥ min(trials, 3) CLEAN samples exist (steal ≤ cap),
+    # up to 2·trials+2 attempts: r2's headline was quoted from a window with
+    # one clean trial out of three (11%/6%/4% steal) — a coin flip, not a
+    # measurement. Steal only ever SLOWS a trial, so retrying during bursts
+    # is conservative (it can't inflate the number).
+    want_clean = min(max(trials, 1), 3)
+    max_attempts = 2 * max(trials, 1) + 2
+    while len(runs) < max_attempts:
         s0, w0 = _steal_jiffies(), _time.monotonic()
         r = _replay_fresh(spark, fix, files_per_batch, n_buckets)
         wall = _time.monotonic() - w0
         # USER_HZ=100: steal fraction of this trial's core-seconds
         r["steal_frac"] = (_steal_jiffies() - s0) / max(wall * 100.0 * cores, 1e-9)
         runs.append(r)
+        n_clean = sum(1 for x in runs if x["steal_frac"] <= max_steal)
+        if len(runs) >= max(trials, 1) and n_clean >= want_clean:
+            break
     clean = [r for r in runs if r["steal_frac"] <= max_steal] or runs
     clean.sort(key=lambda r: r["events_per_sec"])
     out = dict(clean[len(clean) // 2])
     out["trials_events_per_sec"] = [round(r["events_per_sec"], 1) for r in runs]
     out["trials_steal_frac"] = [round(r["steal_frac"], 4) for r in runs]
+    out["n_clean"] = len([r for r in runs if r["steal_frac"] <= max_steal])
     return out

@@ -103,6 +103,13 @@ class SnapshotLakeTable:
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # Snapshots are immutable once committed, so parsed manifests are
+        # cached by version. At steady state a merge consults the manifest
+        # ~6x per batch (idempotence gate, summary, compaction plan, scan,
+        # write, commit); re-parsing a filestats-heavy JSON each time is
+        # per-batch driver-side SERIAL cost that caps N→4N scaling. Bounded
+        # LRU-ish: only the latest few versions stay resident.
+        self._snap_cache: dict[int, dict] = {}
 
     # -- snapshot bookkeeping -------------------------------------------------
 
@@ -127,6 +134,9 @@ class SnapshotLakeTable:
                 "schema": None,
                 "summary": {"last_batch_id": -1, "offsets": {}},
             }
+        cached = self._snap_cache.get(v)
+        if cached is not None:
+            return cached
         try:
             with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
                 snap = json.load(f)
@@ -137,7 +147,17 @@ class SnapshotLakeTable:
             ) from None
         snap.setdefault("deltas", {})
         snap.setdefault("filestats", {})
+        self._cache_snapshot(v, snap)
         return snap
+
+    def _cache_snapshot(self, v: int, snap: dict) -> None:
+        self._snap_cache[v] = snap
+        for old in [k for k in self._snap_cache if k <= v - 4]:
+            del self._snap_cache[old]
+
+    def invalidate_cache(self) -> None:
+        """Drop cached manifests (call after expiring snapshots on disk)."""
+        self._snap_cache.clear()
 
     def commit(self, snap: dict) -> int:
         """Atomically publish a new snapshot (write-then-rename)."""
@@ -156,6 +176,9 @@ class SnapshotLakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(hint_tmp, self._hint_path())
+        snap.setdefault("deltas", {})
+        snap.setdefault("filestats", {})
+        self._cache_snapshot(new_v, snap)
         return new_v
 
     def last_batch_id(self) -> int:
@@ -231,6 +254,7 @@ class SnapshotLakeTable:
         prev = self.snapshot()
         out_rel = os.path.join("data", f"w{prev['version'] + 1}-{uuid.uuid4().hex[:8]}")
         out_abs = os.path.join(self.root, out_rel)
+        t_j0 = time.perf_counter()
         # partition the write by a *copy* of the bucket column: partitionBy
         # strips its column from the files, and we need _bucket readable when
         # scanning leaf files directly (no basePath reconstruction).
@@ -240,6 +264,7 @@ class SnapshotLakeTable:
             .partitionBy("_bp")
             .parquet(out_abs)
         )
+        t_j1 = time.perf_counter()
         new_files: dict[str, list[str]] = {str(b): [] for b in buckets}
         stats: dict[str, dict] = {}
         rels = []
@@ -264,6 +289,10 @@ class SnapshotLakeTable:
 
         with ThreadPoolExecutor(max_workers=min(16, max(len(rels), 1))) as ex:
             stats.update(dict(ex.map(_stat, rels)))
+        if os.environ.get("PZ_CDC_DEBUG", "") == "1":
+            print(f"    [write_files] sparkjob={t_j1 - t_j0:.2f}s "
+                  f"liststats={time.perf_counter() - t_j1:.2f}s "
+                  f"files={len(rels)}")
         return out_rel, new_files, stats
 
     def abort_files(self, out_rel: str) -> None:

@@ -190,35 +190,328 @@ def merge_batch(
 ) -> dict[str, Any]:
     """Apply one microbatch. Returns metrics (also folded into the snapshot).
 
-    Two execution paths:
-    - **fused single-job** (steady state): when the table schema + source
-      geometry are known from previous batches, the schema probe, lineage
-      metrics, decode, LWW fold and write run as ONE observed action
-      (``_merge_fused`` — Dataset.observe/CollectMetrics rides the write
-      scan). If the observed anomaly count is non-zero (schema evolution)
-      the optimistic write is aborted file-level (never committed) and the
-      batch falls back to the two-pass path. Measured: the separate pre-pass
-      job was ~25% of steady-state batch wall clock.
-    - **two-pass** (bootstrap / first batch / evolution): pre-pass job for
-      lineage + exact probe, Arrow inference when needed, then the merge
-      write (``_merge_twopass``).
+    Three execution paths, picked from the MANIFEST (driver-side, no job):
+
+    - **delta-first single job** (steady state: known schema/geometry and the
+      previous batch was ≤ 1/4 of the table): decode, LWW fold, and the
+      merge-on-read delta write run as ONE observed action — no pre-job at
+      all. The exact anomaly gate rides the write (CollectMetrics); on any
+      schema drift the optimistic files are aborted and the batch reruns
+      exact. Compaction of overflowing buckets follows as a separate,
+      amortized job (``lake.compact``). Per-batch fixed cost = 1 job + the
+      commit — the smallest serial fraction, which is what the N→4N scaling
+      efficiency is made of.
+    - **grid-fused** (bootstrap / batch≈table / unknown geometry): one cheap
+      pre-job builds an exact (partition × bucket) grid — counts, offset
+      high-waters, max turn_idx — with a STRIDED payload-anomaly sample
+      riding along; the grid feeds lineage AND the CoW/MoR plan, then the
+      optimistic write runs with the exact anomaly gate. When the batch
+      rivals the table this plans inline compaction (= copy-on-write), the
+      right plan for bootstrap-regime batches.
+    - **two-pass exact** (first write / schema evolution): exact Arrow
+      schema inference then the merge write. When the grid already exists
+      (strided sample caught the evolution, or the fused gate aborted) it is
+      REUSED for lineage — the batch is never scanned twice for metadata.
     """
     t0 = time.perf_counter()
     if batch_id <= table.last_batch_id():
         return {"batch_id": batch_id, "skipped": True, "events": 0, "elapsed_sec": 0.0}
 
-    prev = table.snapshot()["summary"]
+    snap = table.snapshot()
+    prev = snap["summary"]
     public = _public_schema(table)
+    if public is None:
+        return _merge_twopass(spark, table, batch, batch_id, t0)
+
     n_parts = int(prev.get("n_source_partitions", 0) or 0)
     est_events = int(prev.get("batch_events", 0) or 0)
-    if public is not None and n_parts > 0 and est_events > 0:
-        out = _merge_fused(spark, table, batch, batch_id, public, n_parts, est_events, t0)
+    table_rows = sum(int(s.get("rows", 0)) for s in snap["filestats"].values())
+    if n_parts > 0 and 0 < est_events * 4 <= table_rows:
+        out = _merge_delta_first(spark, table, batch, batch_id, public, n_parts, t0)
         if out is not None:
             return out
         if _DEBUG:
-            print(f"[merge {batch_id}] fused path aborted (schema anomaly) "
-                  f"{time.perf_counter() - t0:.1f}s — falling back to two-pass")
-    return _merge_twopass(spark, table, batch, batch_id, t0)
+            print(f"[merge {batch_id}] delta-first aborted (schema anomaly) "
+                  f"{time.perf_counter() - t0:.1f}s — exact two-pass")
+        return _merge_twopass(spark, table, batch, batch_id, t0)
+
+    grid = _pre_grid(spark, table, batch, public)
+    if grid["n_events"] == 0:
+        return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
+    if grid["anomalies_sampled"] == 0:
+        out = _merge_fused(spark, table, batch, batch_id, public, grid, t0)
+        if out is not None:
+            return out
+        if _DEBUG:
+            print(f"[merge {batch_id}] fused gate aborted (schema anomaly) "
+                  f"{time.perf_counter() - t0:.1f}s — exact two-pass (grid reused)")
+    return _merge_twopass(spark, table, batch, batch_id, t0, grid=grid)
+
+
+def _pre_grid(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    batch: DataFrame,
+    public: T.StructType,
+) -> dict[str, Any]:
+    """ONE cheap pre-job: the exact (source-partition × bucket) grid of the
+    batch — event counts, per-partition offset high-waters, max turn_idx —
+    plus a STRIDED payload-anomaly sample (every 64th event_seq parses its
+    payload; CASE short-circuits the rest). The grid is exact for lineage
+    and the CoW/MoR plan; only the anomaly signal is sampled, and the fused
+    write's observed metrics re-check it exactly. Grid size is n_parts ×
+    n_buckets tiny rows — driver-safe at any scale."""
+    turn_t = next(f.dataType for f in public.fields if f.name == "turn_idx")
+    sampled = F.pmod(F.xxhash64("event_seq"), F.lit(64)) == 0
+    pre = batch.withColumn(
+        "_m", F.when(sampled, F.from_json("payload", "map<string,string>"))
+    ).select(
+        F.col("partition"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_b"),
+        F.col("offset"),
+        F.col("turn_idx").alias("_turn"),
+        F.when(
+            sampled,
+            _anomaly_expr(public)
+            + (
+                F.col("turn_idx").isNotNull()
+                & F.col("turn_idx").try_cast(turn_t).isNull()
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_sa"),
+    )
+    cells = (
+        pre.groupBy("partition", "_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("offset").alias("max_offset"),
+            F.max("_turn").alias("max_turn"),
+            F.sum("_sa").alias("sa"),
+        )
+        .collect()
+    )
+    per_part: dict[int, dict[str, int]] = {}
+    by_bucket: dict[int, int] = {}
+    anomalies = 0
+    max_turn = 0
+    for r in cells:
+        p = per_part.setdefault(int(r["partition"]), {"events": 0, "max_offset": -1})
+        p["events"] += int(r["n"])
+        if r["max_offset"] is not None:
+            p["max_offset"] = max(p["max_offset"], int(r["max_offset"]))
+        by_bucket[int(r["_b"])] = by_bucket.get(int(r["_b"]), 0) + int(r["n"])
+        anomalies += int(r["sa"] or 0)
+        if r["max_turn"] is not None:
+            max_turn = max(max_turn, int(r["max_turn"]))
+    lineage = {
+        str(k): {"events": v["events"], "max_offset": v["max_offset"]}
+        for k, v in per_part.items()
+    }
+    return {
+        "lineage": lineage,
+        "by_bucket": by_bucket,
+        "n_events": sum(v["events"] for v in per_part.values()),
+        "n_parts": max(per_part, default=-1) + 1,
+        "anomalies_sampled": anomalies,
+        "max_turn": max_turn,
+    }
+
+
+# Unresolved Column expressions are plan-independent: rebuilt per batch they
+# cost ~0.2s of py4j round-trips — a FIXED driver cost per microbatch that
+# weighs 4x heavier at 4N executors (Amdahl), so the steady path caches them
+# keyed by the schema/geometry they derive from. Entries are tiny; the dict
+# is cleared if it ever grows (schema evolution churn).
+_EXPR_CACHE: dict[tuple, tuple] = {}
+
+
+def _decode_known(batch: DataFrame, public: T.StructType, table: SnapshotLakeTable):
+    """Decode with the KNOWN schema + the exact anomaly column, as one plan.
+
+    Parses each payload ONCE into map<string,string> (JVM codegen); when
+    every payload field is atomic (the steady transcript schema) the typed
+    decode reuses that map via getItem + try_cast — half the JSON-parse CPU
+    of a second ``from_json``. ``_anom`` counts rows that provably do NOT
+    fit the current schema (unknown keys, failed try_cast) and an envelope
+    term catches a payload-less delete whose turn_idx needs widening."""
+    key = ("decode", public.json(), table.n_buckets)
+    cached = _EXPR_CACHE.get(key)
+    if cached is None:
+        payload_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in public.fields]
+        )
+        turn_t = next(f.dataType for f in public.fields if f.name == "turn_idx")
+        map_col = F.from_json("payload", "map<string,string>")
+        anom_col = _anomaly_expr(public)
+        _ATOMIC = (
+            T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.BooleanType,
+        )
+        if all(isinstance(f.dataType, _ATOMIC) for f in payload_schema.fields):
+            p_col = F.struct(
+                *[
+                    F.col("_m").getItem(f.name).try_cast(f.dataType).alias(f.name)
+                    for f in payload_schema.fields
+                ]
+            )
+        else:
+            p_col = F.from_json("payload", payload_schema)
+        env_anom = (
+            F.col("turn_idx").isNotNull() & F.col("turn_idx").try_cast(turn_t).isNull()
+        )
+        upsert_cols = [
+            *_value_cols(public, payload_schema),
+            F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_bucket"),
+            F.col("ts").alias("_ts"),
+            F.col("event_seq").alias("_event_seq"),
+            (F.col("op") == "D").alias("_deleted"),
+        ]
+        if len(_EXPR_CACHE) > 32:
+            _EXPR_CACHE.clear()
+        cached = _EXPR_CACHE[key] = (map_col, anom_col, p_col, env_anom, upsert_cols)
+    map_col, anom_col, p_col, env_anom, upsert_cols = cached
+    decoded = (
+        batch.withColumn("_m", map_col)
+        .withColumn("_anom", anom_col)
+        .withColumn("_p", p_col)
+    )
+    return decoded, env_anom, upsert_cols
+
+
+def _await_observation(obs, decoded, metrics) -> dict:
+    """Fetch observed metrics WITHOUT the unbounded blocking ``obs.get``
+    py4j call: inside foreachBatch a concurrent ``q.stop()`` (kill/resume)
+    deadlocks against the blocked listener callback. Metrics land ~instantly
+    after the action, so poll the non-blocking getRowOrEmpty briefly; if the
+    listener event was dropped, recompute exactly with a dedicated job —
+    correct either way, bounded always."""
+    jo = getattr(obs, "_jo", None)
+    deadline = time.time() + 2.0
+    while jo is not None and time.time() < deadline:
+        if jo.getRowOrEmpty().isDefined():
+            return obs.get
+        time.sleep(0.005)
+    return decoded.agg(*metrics).collect()[0].asDict()
+
+
+def _merge_delta_first(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    public: T.StructType,
+    n_parts: int,
+    t0: float,
+) -> dict[str, Any] | None:
+    """Steady-state merge: ONE observed job, zero pre-jobs.
+
+    decode → in-batch LWW fold → merge-on-read delta write for EVERY touched
+    bucket, with lineage (per-source-partition counts + offset high-waters),
+    the exact anomaly count, and the geometry check collected by a
+    CollectMetrics node riding the write scan. Nothing is committed until
+    the observed metrics prove the batch fits the known schema; on drift the
+    files are aborted (Iceberg's uncommitted-snapshot discipline) and the
+    caller reruns the exact path. Returns None on abort.
+
+    Bucket overflow (accumulated delta rows ≥ ratio·base, or the delta-file
+    cap) is then compacted as a SEPARATE amortized job — per-batch write
+    cost stays O(batch), the compaction bound is lake.plan_compaction's
+    amortized-constant argument, and the common batch is exactly one Spark
+    job + one manifest commit."""
+    from pyspark.sql import Observation
+
+    full = _full_schema(public)
+    cols = [f.name for f in full.fields]
+    decoded, env_anom, upsert_cols = _decode_known(batch, public, table)
+
+    obs = Observation()
+    mkey = ("metrics", public.json(), n_parts)
+    metrics = _EXPR_CACHE.get(mkey)
+    if metrics is None:
+        metrics = [
+            F.count(F.lit(1)).alias("events"),
+            (F.sum("_anom") + F.sum(env_anom.cast("long"))).alias("anomalies"),
+            F.max("partition").alias("max_part"),
+        ]
+        for p in range(n_parts):
+            is_p = F.col("partition") == p
+            metrics.append(F.sum(is_p.cast("long")).alias(f"ev_{p}"))
+            metrics.append(F.max(F.when(is_p, F.col("offset"))).alias(f"off_{p}"))
+        if len(_EXPR_CACHE) > 32:
+            _EXPR_CACHE.clear()
+        _EXPR_CACHE[mkey] = metrics
+    decoded = decoded.observe(obs, *metrics)
+    upserts = decoded.select(*upsert_cols)
+
+    out_rel = None
+    try:
+        t_w0 = time.perf_counter()
+        out_rel, new_files, stats = table.write_files(
+            _lww(align_to(upserts, full), cols).hint("rebalance", "_bucket"), []
+        )
+        t_w1 = time.perf_counter()
+        m = _await_observation(obs, decoded, metrics)
+        t_obs = time.perf_counter()
+        n_events = int(m["events"] or 0)
+        anomalies = int(m["anomalies"] or 0)
+        max_part = -1 if m["max_part"] is None else int(m["max_part"])
+        if anomalies > 0 or max_part >= n_parts:
+            table.abort_files(out_rel)
+            return None
+        if n_events == 0:
+            table.abort_files(out_rel)
+            return {"batch_id": batch_id, "skipped": False, "events": 0,
+                    "elapsed_sec": 0.0}
+    except Exception:
+        if out_rel is not None:
+            table.abort_files(out_rel)
+        raise
+
+    lineage = {
+        str(p): {
+            "events": int(m[f"ev_{p}"] or 0),
+            "max_offset": int(m[f"off_{p}"] if m[f"off_{p}"] is not None else -1),
+        }
+        for p in range(n_parts)
+        if int(m[f"ev_{p}"] or 0) > 0
+    }
+    summary = _fold_summary(table, batch_id, lineage, n_events, n_parts,
+                            fused_clean=True)
+    table.commit_merge([], {}, new_files, stats, full.jsonValue(), summary)
+    t_commit = time.perf_counter()
+
+    # amortized compaction of overflowing buckets (separate job, may be none)
+    overflow = [
+        b for b, s in table.bucket_stats().items()
+        if s["delta_files"] and (
+            s["base_rows"] == 0
+            or s["delta_rows"] >= 0.5 * s["base_rows"]
+            or s["delta_files"] > 8
+        )
+    ]
+    if overflow:
+        table.compact(spark, overflow)
+
+    elapsed = time.perf_counter() - t0
+    if _DEBUG:
+        print(f"[merge {batch_id}] delta-first done plan={t_w0 - t0:.2f}s "
+              f"job={t_w1 - t_w0:.2f}s obs={t_obs - t_w1:.2f}s "
+              f"commit={t_commit - t_obs:.2f}s "
+              f"compact({len(overflow)})={elapsed - (t_commit - t0):.2f}s "
+              f"total={elapsed:.1f}s ({n_events} ev)")
+    return {
+        "batch_id": batch_id,
+        "skipped": False,
+        "events": n_events,
+        "affected_buckets": len(new_files),
+        "compacted_buckets": len(overflow),
+        "delta_buckets": len(new_files),
+        "fused": True,
+        "lineage": lineage,
+        "elapsed_sec": elapsed,
+        "events_per_sec": n_events / elapsed if elapsed > 0 else 0.0,
+    }
 
 
 def _merge_fused(
@@ -227,135 +520,38 @@ def _merge_fused(
     batch: DataFrame,
     batch_id: int,
     public: T.StructType,
-    n_parts: int,
-    est_events: int,
+    grid: dict[str, Any],
     t0: float,
 ) -> dict[str, Any] | None:
-    """Steady-state merge as ONE observed action (two when cow+mor mix).
+    """Bootstrap-regime merge: grid-planned CoW/MoR write + exact gate.
 
-    The batch scan computes, in a single stage: the map-parse anomaly probe,
-    the struct decode with the KNOWN schema, text normalization, bucketing —
-    with lineage/probe metrics collected by a CollectMetrics node during the
-    SAME job (count, anomaly sum, per-source-partition event counts and
-    high-water offsets in ``n_parts`` fixed slots). Returns None if the
-    anomaly count is non-zero or a partition id outside the known slots
-    appears — after aborting the uncommitted files — so the caller reruns
-    the exact two-pass path.
-
-    The CoW/MoR split is decided from the batch's TRUE per-bucket row counts
-    (a conv_id-only count job — one string column, no JSON parse), so only
-    buckets the batch actually touches are ever written; untouched buckets
-    carry forward by manifest reference alone. Per-batch write cost is
-    therefore O(batch + touched-bucket bases elected for compaction), never
-    O(table).
-    """
+    Lineage, the CoW/MoR plan, and the batch geometry all come from the
+    exact pre-grid — the observed metrics only re-check the (sampled)
+    anomaly signal exactly. The CoW/MoR split uses the batch's TRUE
+    per-bucket counts, so only touched buckets are written; untouched
+    buckets carry forward by manifest reference. Returns None (after
+    aborting the uncommitted files) if the exact anomaly count is non-zero —
+    the caller reruns two-pass, reusing the grid."""
     from pyspark.sql import Observation
 
-    payload_schema = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in public.fields]
-    )
     full = _full_schema(public)
     cols = [f.name for f in full.fields]
-    turn_t0 = next(f.dataType for f in public.fields if f.name == "turn_idx")
-
-    # ONE cheap pre-job: exact per-bucket batch counts (conv_id column only
-    # — the CoW/MoR plan input) with a STRIDED anomaly sample riding along
-    # (every 64th event_seq parses its payload; CASE short-circuits the
-    # parse for the rest). Strided sampling catches schema evolution
-    # wherever its onset falls in the batch for ~n/64 parses, so an
-    # evolution batch bails here in ~0.3s instead of paying a full
-    # optimistic write that the exact observe gate below would throw away
-    # (measured: that wasted write was ~half the evolution batch's wall
-    # clock). A lone anomalous row the stride misses is still caught
-    # exactly by the observed metrics.
-    sampled = F.pmod(F.xxhash64("event_seq"), F.lit(64)) == 0
-    pre = batch.withColumn(
-        "_m", F.when(sampled, F.from_json("payload", "map<string,string>"))
-    ).select(
-        F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_b"),
-        F.when(
-            sampled,
-            _anomaly_expr(public)
-            + (
-                F.col("turn_idx").isNotNull()
-                & F.col("turn_idx").try_cast(turn_t0).isNull()
-            ).cast("long"),
-        )
-        .otherwise(F.lit(0))
-        .alias("_sa"),
-    )
-    grid = (
-        pre.groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("_sa").alias("sa"))
-        .collect()
-    )
-    batch_rows_by_bucket = {int(r["_b"]): int(r["n"]) for r in grid}
-    if sum(int(r["sa"] or 0) for r in grid) > 0:
-        return None
-    t_sample = time.perf_counter()
-
-    decoded = batch.withColumn(
-        "_m", F.from_json("payload", "map<string,string>")
-    ).withColumn("_anom", _anomaly_expr(public))
-    # Decode from the ALREADY-PARSED map when every payload field is atomic
-    # (the steady-state transcript schema: strings + ints) — getItem +
-    # try_cast per field, halving the JSON-parse CPU of this job. try_cast
-    # mirrors from_json's per-field null-on-mismatch. A nested field (a
-    # producer emitting real JSON objects) falls back to the typed parse.
-    _ATOMIC = (
-        T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
-        T.DoubleType, T.FloatType, T.BooleanType,
-    )
-    if all(isinstance(f.dataType, _ATOMIC) for f in payload_schema.fields):
-        decoded = decoded.withColumn(
-            "_p",
-            F.struct(
-                *[
-                    F.col("_m").getItem(f.name).try_cast(f.dataType).alias(f.name)
-                    for f in payload_schema.fields
-                ]
-            ),
-        )
-    else:
-        decoded = decoded.withColumn("_p", F.from_json("payload", payload_schema))
+    decoded, env_anom, upsert_cols = _decode_known(batch, public, table)
     obs = Observation()
-    turn_t = next(f.dataType for f in public.fields if f.name == "turn_idx")
-    # ENVELOPE anomaly: a delete (payload-less) whose turn_idx needs widening
-    # is invisible to the payload probe — catching it here prevents the
-    # optimistic decode from null-ing its key (and routes to two-pass, which
-    # widens from the envelope's observed max)
-    env_anom = (F.col("turn_idx").isNotNull() & F.col("turn_idx").try_cast(turn_t).isNull())
     metrics = [
         F.count(F.lit(1)).alias("events"),
         (F.sum("_anom") + F.sum(env_anom.cast("long"))).alias("anomalies"),
-        F.max("partition").alias("max_part"),
     ]
-    for p in range(n_parts):
-        is_p = F.col("partition") == p
-        metrics.append(F.sum(is_p.cast("long")).alias(f"ev_{p}"))
-        metrics.append(F.max(F.when(is_p, F.col("offset"))).alias(f"off_{p}"))
     decoded = decoded.observe(obs, *metrics)
+    upserts = decoded.select(*upsert_cols)
 
-    upserts = decoded.select(
-        *_value_cols(public, payload_schema),
-        F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int").alias("_bucket"),
-        F.col("ts").alias("_ts"),
-        F.col("event_seq").alias("_event_seq"),
-        (F.col("op") == "D").alias("_deleted"),
-    )
-
-    # CoW/MoR split from the pre-job's TRUE per-bucket counts: only buckets
-    # the batch actually touches are planned (the earlier uniform-estimate
-    # design cow-rewrote every bucket of the table for a small or skewed
-    # batch — O(table) writes for an O(batch) change, the exact write
-    # amplification the MoR design exists to kill).
-    cow, mor = table.plan_compaction(batch_rows_by_bucket)
-
+    cow, mor = table.plan_compaction(grid["by_bucket"])
     out_rels: list[str] = []
     cow_files: dict = {}
     mor_files: dict = {}
     stats: dict = {}
-    t_cow = t_mor = t_plan = time.perf_counter()
+    t_plan = time.perf_counter()
+    t_cow = t_mor = t_plan
     try:
         if cow:
             existing = table.read_raw(spark, cow)
@@ -375,27 +571,8 @@ def _merge_fused(
             out_rels.append(rel)
             stats.update(s)
             t_mor = time.perf_counter()
-        # NEVER call the blocking obs.get py4j method unguarded: it waits on
-        # a listener-bus notification with no timeout, and inside foreachBatch
-        # a concurrent q.stop() (the kill/resume path) deadlocks against the
-        # blocked callback thread. Metrics land ~instantly after the action,
-        # so poll the non-blocking getRowOrEmpty briefly; if they never
-        # arrive (dropped listener event), recompute exactly with a dedicated
-        # job — correct either way, bounded always.
-        m = None
-        jo = getattr(obs, "_jo", None)
-        deadline = time.time() + 2.0
-        while jo is not None and time.time() < deadline:
-            if jo.getRowOrEmpty().isDefined():
-                m = obs.get
-                break
-            time.sleep(0.05)
-        if m is None:
-            m = decoded.agg(*metrics).collect()[0].asDict()
-        n_events = int(m["events"] or 0)
-        anomalies = int(m["anomalies"] or 0)
-        max_part = -1 if m["max_part"] is None else int(m["max_part"])
-        if anomalies > 0 or max_part >= n_parts:
+        m = _await_observation(obs, decoded, metrics)
+        if int(m["anomalies"] or 0) > 0:
             for rel in out_rels:
                 table.abort_files(rel)
             return None
@@ -403,26 +580,18 @@ def _merge_fused(
         for rel in out_rels:
             table.abort_files(rel)
         raise
+
+    n_events = grid["n_events"]
     if _DEBUG:
         t_now = time.perf_counter()
-        print(f"[merge {batch_id}] fused phases: sample={t_sample - t0:.1f}s "
-              f"cow_write={max(t_cow - t_plan, 0):.1f}s "
+        print(f"[merge {batch_id}] fused phases: cow_write={max(t_cow - t_plan, 0):.1f}s "
               f"mor_write={max(t_mor - max(t_cow, t_plan), 0):.1f}s "
               f"obs={t_now - max(t_mor, t_cow, t_plan):.1f}s total={t_now - t0:.1f}s "
               f"(cow={len(cow)} mor={len(mor)})")
-    if n_events == 0:
-        for rel in out_rels:
-            table.abort_files(rel)
-        return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
-
-    lineage = {
-        str(p): {"events": int(m[f"ev_{p}"] or 0), "max_offset": int(m[f"off_{p}"] if m[f"off_{p}"] is not None else -1)}
-        for p in range(n_parts)
-        if int(m[f"ev_{p}"] or 0) > 0
-    }
     table.commit_merge(
         cow, cow_files, mor_files, stats, full.jsonValue(),
-        _fold_summary(table, batch_id, lineage, n_events, n_parts, fused_clean=True),
+        _fold_summary(table, batch_id, grid["lineage"], n_events, grid["n_parts"],
+                      fused_clean=True),
     )
     elapsed = time.perf_counter() - t0
     if _DEBUG:
@@ -435,7 +604,7 @@ def _merge_fused(
         "compacted_buckets": len(cow),
         "delta_buckets": len(mor),
         "fused": True,
-        "lineage": lineage,
+        "lineage": grid["lineage"],
         "elapsed_sec": elapsed,
         "events_per_sec": n_events / elapsed if elapsed > 0 else 0.0,
     }
@@ -447,107 +616,96 @@ def _merge_twopass(
     batch: DataFrame,
     batch_id: int,
     t0: float,
+    grid: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Apply one microbatch (exact path — bootstrap / evolution batches)."""
-    # (7a)+(2) ONE pre-pass job computes lineage AND the schema-fit check.
-    # Grouping is (partition, bucket) — not partition alone: a per-partition
-    # collect_set(bucket) funnels the whole batch through one final-agg task
-    # (measured: a serial 3-4s). 128 tiny groups keep the combine map-side
-    # and the final exchange trivial.
-    #
-    # Schema resolution is two-tier and always exact: the fused probe parses
-    # each payload ONCE into map<string,string> (JVM, codegen) and counts
-    # rows that provably do NOT fit the table's current schema — unknown
-    # keys, or a non-string field whose raw value fails try-cast to its
-    # current type. anomalies == 0 ⇒ the known schema decodes this batch
-    # losslessly and the Python/Arrow inference pass is SKIPPED (steady
-    # state); any anomaly (first batch, new column, widening, type drift)
-    # pays the exact Arrow inference (reconcile.py). A previous design ran
-    # the probe as its own job with get_json_object per checked field —
-    # that re-parsed every payload ~5x and cost as much CPU as the merge
-    # itself; the fused single-parse probe rides the lineage scan.
-    bucket_expr = F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int")
-    table_public_pre = _public_schema(table)
+    """Exact path — first write and schema-evolution batches.
 
-    pre_cols = [
-        F.col("partition"),
-        bucket_expr.alias("_b"),
-        F.col("offset"),
-        F.col("payload"),
-    ]
-    anomaly_expr = None
-    if table_public_pre is not None:
-        known = {f.name: f.dataType for f in table_public_pre.fields}
-        pre_cols.append(F.from_json("payload", "map<string,string>").alias("_m"))
-        known_arr = F.array(*[F.lit(k) for k in sorted(known)])
-        bads = [
-            F.col("_m").isNull(),
-            F.size(F.array_except(F.map_keys(F.col("_m")), known_arr)) > 0,
+    With ``grid`` (handed down when the strided sample or the fused gate
+    already flagged the batch), the lineage/bucket/turn metadata is REUSED
+    and the batch goes straight to exact Arrow schema inference — no second
+    metadata scan. Without it (first-ever write), one pre-pass job computes
+    lineage AND the exact schema-fit check, grouped (partition, bucket) so
+    the combine stays map-side."""
+    if grid is not None:
+        lineage_rows = [
+            {"partition": int(k), "events": v["events"], "max_offset": v["max_offset"]}
+            for k, v in grid["lineage"].items()
         ]
-        for name, dt in known.items():
-            if isinstance(dt, (T.StringType, T.NullType)):
-                continue  # everything casts to string — cannot drift
-            v = F.col("_m").getItem(name)
-            # try_cast, NOT cast: under Spark 4's default ANSI mode a plain
-            # cast on a drifted value (e.g. turn_idx beyond int32, malformed
-            # number) throws CAST_INVALID_INPUT and poison-pills the batch in
-            # replay_stream's retry loop; try_cast yields NULL, which is
-            # exactly the "does not fit current schema" anomaly signal that
-            # routes the batch to exact Arrow inference.
-            bads.append(v.isNotNull() & v.try_cast(dt).isNull())
-        anom = F.col("payload").isNotNull()
-        from functools import reduce
-
-        anomaly_expr = (anom & reduce(lambda a, b: a | b, bads)).cast("long")
-
-    pre_cols.append(F.col("turn_idx").alias("_turn"))
-    pre = batch.select(*pre_cols)
-    aggs = [
-        F.count(F.lit(1)).alias("events"),
-        F.max("offset").alias("max_offset"),
-        F.max("_turn").alias("max_turn"),
-    ]
-    if anomaly_expr is not None:
-        pre = pre.withColumn("_anom", anomaly_expr)
-        aggs.append(F.sum("_anom").alias("anomalies"))
-    lineage_cells = pre.groupBy("partition", "_b").agg(*aggs).collect()
-
-    # driver-side fold of the 128-cell grid into per-source-partition lineage
-    per_part: dict[int, dict[str, int]] = {}
-    buckets_seen: set[int] = set()
-    n_anomalies = 0
-    for r in lineage_cells:
-        p = per_part.setdefault(r["partition"], {"events": 0, "max_offset": -1})
-        p["events"] += r["events"]
-        p["max_offset"] = max(p["max_offset"], r["max_offset"])
-        buckets_seen.add(r["_b"])
-        if anomaly_expr is not None:
-            n_anomalies += int(r["anomalies"] or 0)
-    lineage_rows = [
-        {"partition": k, "events": v["events"], "max_offset": v["max_offset"]}
-        for k, v in per_part.items()
-    ]
-    n_events = sum(r["events"] for r in lineage_rows)
-    if n_events == 0:
-        return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
-    affected = sorted(buckets_seen)
-    if table_public_pre is not None and n_anomalies == 0:
-        payload_schema: T.StructType | None = T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in table_public_pre.fields]
-        )
-    else:
+        n_events = grid["n_events"]
+        if n_events == 0:
+            return {"batch_id": batch_id, "skipped": False, "events": 0,
+                    "elapsed_sec": 0.0}
+        batch_rows_by_bucket = dict(grid["by_bucket"])
+        affected = sorted(batch_rows_by_bucket)
+        max_turn = grid["max_turn"]
+        # the grid's anomaly signal (or the fused exact gate) already proved
+        # the known schema does NOT fit — exact Arrow inference, always
         payload_schema = infer_payload_schema(batch)
+    else:
+        table_public_pre = _public_schema(table)
+        bucket_expr = F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets)).cast("int")
+        pre_cols = [
+            F.col("partition"),
+            bucket_expr.alias("_b"),
+            F.col("offset"),
+            F.col("payload"),
+        ]
+        anomaly_expr = None
+        if table_public_pre is not None:
+            pre_cols.append(F.from_json("payload", "map<string,string>").alias("_m"))
+            anomaly_expr = _anomaly_expr(table_public_pre)
+        pre_cols.append(F.col("turn_idx").alias("_turn"))
+        pre = batch.select(*pre_cols)
+        aggs = [
+            F.count(F.lit(1)).alias("events"),
+            F.max("offset").alias("max_offset"),
+            F.max("_turn").alias("max_turn"),
+        ]
+        if anomaly_expr is not None:
+            pre = pre.withColumn("_anom", anomaly_expr)
+            aggs.append(F.sum("_anom").alias("anomalies"))
+        lineage_cells = pre.groupBy("partition", "_b").agg(*aggs).collect()
+
+        per_part: dict[int, dict[str, int]] = {}
+        batch_rows_by_bucket = {}
+        n_anomalies = 0
+        for r in lineage_cells:
+            p = per_part.setdefault(r["partition"], {"events": 0, "max_offset": -1})
+            p["events"] += r["events"]
+            p["max_offset"] = max(p["max_offset"], r["max_offset"])
+            batch_rows_by_bucket[r["_b"]] = (
+                batch_rows_by_bucket.get(r["_b"], 0) + r["events"]
+            )
+            if anomaly_expr is not None:
+                n_anomalies += int(r["anomalies"] or 0)
+        lineage_rows = [
+            {"partition": k, "events": v["events"], "max_offset": v["max_offset"]}
+            for k, v in per_part.items()
+        ]
+        n_events = sum(r["events"] for r in lineage_rows)
+        if n_events == 0:
+            return {"batch_id": batch_id, "skipped": False, "events": 0,
+                    "elapsed_sec": 0.0}
+        affected = sorted(batch_rows_by_bucket)
+        max_turn = max((int(r["max_turn"]) for r in lineage_cells
+                        if r["max_turn"] is not None), default=0)
+        if table_public_pre is not None and n_anomalies == 0:
+            payload_schema = T.StructType(
+                [T.StructField(f.name, f.dataType, True)
+                 for f in table_public_pre.fields]
+            )
+        else:
+            payload_schema = infer_payload_schema(batch)
     if _DEBUG:
-        print(f"[merge {batch_id}] lineage+infer (concurrent) {time.perf_counter() - t0:.1f}s")
+        print(f"[merge {batch_id}] lineage+infer {time.perf_counter() - t0:.1f}s"
+              f"{' (grid reused)' if grid is not None else ''}")
 
     table_public = _public_schema(table)
     public = reconcile_public_schema(table_public, payload_schema)
     # envelope-driven widening: the feed envelope's turn_idx is authoritative
     # for the key; a payload-less delete can carry a value beyond the
     # reconciled type's range (invisible to payload inference) — widen from
-    # the pre-pass's observed max so the key cast can never overflow
-    max_turn = max((int(r["max_turn"]) for r in lineage_cells
-                    if r["max_turn"] is not None), default=0)
+    # the observed max so the key cast can never overflow
     turn_f = next(f for f in public.fields if f.name == "turn_idx")
     if isinstance(turn_f.dataType, (T.ByteType, T.ShortType, T.IntegerType)) and (
         max_turn > 2**31 - 1
@@ -561,7 +719,7 @@ def _merge_twopass(
         )
     full = _full_schema(public)
 
-    # (3) vectorized decode: JVM-side from_json with the reconciled schema;
+    # vectorized decode: JVM-side from_json with the reconciled schema;
     # envelope is authoritative for the key (delete rows carry no payload)
     decoded = batch
     if payload_schema is not None:
@@ -588,43 +746,22 @@ def _merge_twopass(
         (F.col("op") == "D").alias("_deleted"),
     )
 
-    # (4)+(5) Per-bucket write strategy (merge-on-read vs compact-inline),
-    # decided from the pre-pass lineage grid + the manifest, zero extra I/O.
-    # A bucket whose pending rows (batch + accumulated deltas) rival its base
-    # gets COMPACTED INLINE: one max_by aggregate over (base ∪ deltas ∪ batch)
-    # both dedups and applies the version guard — the copy-on-write plan, one
-    # shuffle. A bucket where the batch is a sliver of the base gets a DELTA
-    # APPEND: the batch slice is LWW-deduped and written as a new delta file,
-    # cost O(batch slice); the fold happens at read/compaction (lake.lww_fold,
-    # same aggregate — max_by associativity makes the two paths equal). This
-    # keeps per-batch write cost tracking the BATCH, not the table: with
-    # Zipf-skewed feeds every batch touches ~every bucket, so the old
-    # rewrite-all-affected-buckets plan was O(table) per batch at 10^10 rows.
-    # (A real Iceberg sink maps cow→copy-on-write MERGE, mor→v2 merge-on-read
-    # positional/equality deletes; cdc/iceberg.py.)
-    batch_rows_by_bucket: dict[int, int] = {}
-    for r in lineage_cells:
-        batch_rows_by_bucket[r["_b"]] = batch_rows_by_bucket.get(r["_b"], 0) + r["events"]
+    # Per-bucket write strategy (merge-on-read vs compact-inline), decided
+    # from the grid/pre-pass counts + the manifest, zero extra I/O. A bucket
+    # whose pending rows rival its base is COMPACTED INLINE (copy-on-write,
+    # one shuffle); a bucket where the batch is a sliver gets a DELTA APPEND
+    # folded at read/compaction — per-batch write cost tracks the BATCH.
     cow, mor = table.plan_compaction(batch_rows_by_bucket)
 
-    # (7b) fold lineage into the snapshot summary; n_source_partitions is
-    # recorded so subsequent steady-state batches can take the fused
-    # single-job path (its observe slots need the source geometry up front)
     lineage = {
         str(r["partition"]): {"events": r["events"], "max_offset": r["max_offset"]}
         for r in lineage_rows
     }
     n_parts = max((r["partition"] for r in lineage_rows), default=-1) + 1
 
-    # (6) skew-immune write: AQE REBALANCE on _bucket. Unlike a fixed-width
-    # hash repartition (lumpy: few distinct buckets hashed into many
-    # partitions) or manual salting (fixed fan-out even for cold buckets),
-    # REBALANCE sizes write tasks to the advisory partition size — a hot
-    # bucket is SPLIT across tasks (optimizeSkewsInRebalancePartitions,
-    # default on) and a tiny batch coalesces to a few tasks. Write width
-    # therefore tracks data volume and the parquet encode saturates all
-    # cores at any batch size. (``write_salt`` retained for API compat; the
-    # skew fan-out is adaptive now.)
+    # skew-immune write: AQE REBALANCE on _bucket — a hot bucket is SPLIT
+    # across tasks (optimizeSkewsInRebalancePartitions) and a tiny batch
+    # coalesces, so write width tracks data volume at any batch size.
     if _DEBUG:
         print(f"[merge {batch_id}] plan-built cow={len(cow)} mor={len(mor)} "
               f"{time.perf_counter() - t0:.1f}s")

@@ -60,9 +60,13 @@ def replay_batches(
     files_per_batch: int = 4,
     start_batch_id: int = 0,
     max_batches: int | None = None,
+    skip_files: int = 0,
 ) -> list[dict[str, Any]]:
-    """Batch-mode replay: feed files grouped in order → merge_batch each."""
-    files = sorted(glob.glob(os.path.join(feed_dir, "feed-*.parquet")))
+    """Batch-mode replay: feed files grouped in order → merge_batch each.
+    ``skip_files`` drops the first N feed files (tail-only replay: the
+    scaling harness replays a feed prefix into its template once, then
+    measures only the remaining steady-tail files)."""
+    files = sorted(glob.glob(os.path.join(feed_dir, "feed-*.parquet")))[skip_files:]
     groups = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
     out = []
     for i, group in enumerate(groups):

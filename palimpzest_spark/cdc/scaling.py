@@ -111,31 +111,48 @@ spark = get_spark(app_name=f"cdc_scaling_{cores}", master=f"local[{cores}]",
 # takes the merge-on-read delta path and per-batch work is O(batch) — the
 # regime of a CDC tail on a 10^10-row table, where compaction is a
 # separately-amortized maintenance cost (writeamp.py proves that bound).
-# The big base is bootstrapped ONCE per process into a template table;
-# each trial replays into an instant hardlink CLONE of it.
+# The big base is bootstrapped ONCE per process into a template table AND
+# the feed PREFIX (holding the schema-evolution wave) is replayed into it,
+# so every MEASURED batch is a steady-tail delta-path batch — the r2 run
+# measured a 50% mixture of the one-off evolution batch, which is the
+# bootstrap transient, not the sustained tail the metric describes. Each
+# trial replays only the tail files into an instant hardlink CLONE.
 fix = ensure_fixture(n_events=n_events, n_convs=n_convs,
                      max_turns=10 if steady else 24, n_files=32, evolve_at=0.1)
 template = None
+skip_files = 0
+start_bid = 0
 if steady:
     import tempfile
     from palimpzest_spark.cdc.bench import _WORK_ROOT
     from palimpzest_spark.cdc.lake import SnapshotLakeTable
     from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
     template = tempfile.mkdtemp(prefix="pz_template_", dir=_WORK_ROOT)
-    bootstrap(spark, SnapshotLakeTable(template, n_buckets=n_buckets), fix["base"])
+    ttab = SnapshotLakeTable(template, n_buckets=n_buckets)
+    bootstrap(spark, ttab, fix["base"])
+    skip_files = fpb  # prefix = one batch group; evolve_at=0.1 lands inside
+    replay_batches(spark, ttab, fix["feed_dir"], files_per_batch=fpb,
+                   max_batches=1)
+    start_bid = 1
 _replay_fresh(spark, fix, files_per_batch=fpb, n_buckets=n_buckets,
-              template_table=template)  # warmup replay
+              template_table=template, skip_files=skip_files,
+              start_batch_id=start_bid)  # warmup replay
 print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "GO":
         break
     s0, t0 = _steal_jiffies(), time.monotonic()
     m = _replay_fresh(spark, fix, files_per_batch=fpb, n_buckets=n_buckets,
-                      template_table=template)
+                      template_table=template, skip_files=skip_files,
+                      start_batch_id=start_bid)
     wall = time.monotonic() - t0
     # USER_HZ=100: steal fraction of this trial's pinned-core-seconds
     m["steal_frac"] = (_steal_jiffies() - s0) / max(wall * 100.0 * cores, 1e-9)
     print("RESULT " + json.dumps(m), flush=True)
+if template:
+    import shutil
+    shutil.rmtree(template, ignore_errors=True)
 spark.stop()
 """
 
@@ -279,6 +296,7 @@ def run_interleaved(n: int, n_events: int, n_convs: int, trials: int,
         raise
     big = _Child(n * 4, max(total - n * 4, 0), n_events, n_convs, n_buckets,
                  max_part_mb, fpb, steady)
+    ceilings: list[dict] = []
     try:
         big.wait_ready()
         rates_n: list[tuple[float, float]] = []
@@ -286,10 +304,17 @@ def run_interleaved(n: int, n_events: int, n_convs: int, trials: int,
         for _ in range(trials):
             rates_n.append(small.trial())
             rates_4n.append(big.trial())
+            # contemporaneous ceiling probe (ADVICE r2): a ceiling measured
+            # only after all trials can come from a different host window
+            # than the trials it normalizes; probing between rounds pairs
+            # each trial round with a same-window ceiling reading. The
+            # children sit idle (blocked on stdin) during the probe.
+            ceilings.append(machine_ceiling(n, seconds=2.5))
     finally:
         small.close()
         big.close()
-    return _level_summary(rates_n, max_steal), _level_summary(rates_4n, max_steal)
+    return (_level_summary(rates_n, max_steal), _level_summary(rates_4n, max_steal),
+            ceilings)
 
 
 def main() -> None:
@@ -317,10 +342,15 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="write a markdown report here")
     args = ap.parse_args()
 
-    small, big = run_interleaved(args.n, args.events, args.convs, args.trials,
-                                 args.buckets, args.max_part_mb, args.max_steal,
-                                 weak=args.weak, fpb=args.fpb, steady=args.steady)
-    ceiling = machine_ceiling(args.n)
+    small, big, probes = run_interleaved(args.n, args.events, args.convs, args.trials,
+                                         args.buckets, args.max_part_mb,
+                                         args.max_steal, weak=args.weak,
+                                         fpb=args.fpb, steady=args.steady)
+    # per-round contemporaneous ceilings; the median is the window's ceiling
+    ceff = sorted(p["ceiling_efficiency"] for p in probes)
+    ceiling = dict(probes[len(probes) // 2],
+                   ceiling_efficiency=ceff[len(ceff) // 2],
+                   per_round_efficiency=[p["ceiling_efficiency"] for p in probes])
     t_n, t_4n = small["events_per_sec"], big["events_per_sec"]
     eff = (t_4n / t_n) / 4 if t_n else 0.0
     result = {
@@ -366,11 +396,13 @@ every trial and its steal reading is listed — nothing discarded silently):
 | local[{args.n * 4}], pinned to {args.n * 4} CPUs (4N) | {t_4n:,.0f} | {big['n_clean']}/{args.trials} | {big['trials']} | {big['steal']} |
 
 - speedup 4N/N: **{t_4n / t_n:.2f}x**
-- scaling efficiency (speedup/4): **{eff:.3f}** (gate: ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
-- machine parallel ceiling (pure-CPU sha256 microkernel, same pinned core
-  sets, zero communication): speedup {ceiling["ceiling_speedup"]}x, efficiency
-  {ceiling["ceiling_efficiency"]} — the best any code can measure on this VM;
-  job efficiency relative to ceiling: **{eff / max(ceiling["ceiling_efficiency"], 1e-9):.3f}**
+- **RAW scaling efficiency (speedup/4): {eff:.3f} — gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}**
+  (the gate is judged on this raw number; the ceiling below is context only)
+- context: machine parallel ceiling (pure-CPU sha256 microkernel, same
+  pinned core sets, zero communication, probed BETWEEN trial rounds so each
+  round has a same-window reading): median efficiency
+  {ceiling["ceiling_efficiency"]}, per-round {ceiling["per_round_efficiency"]};
+  job efficiency ÷ ceiling = {eff / max(ceiling["ceiling_efficiency"], 1e-9):.3f}
 
 Method: `python -m palimpzest_spark.cdc.scaling --events {args.events} --n {args.n}`.
 Each replay: batch replay of the full change feed through the merge-apply

@@ -228,6 +228,7 @@ def expire_snapshots(
         if os.path.exists(mp):
             os.unlink(mp)
             removed_snapshots += 1
+    table.invalidate_cache()  # expired manifests must raise, not hit cache
 
     return {
         "removed_files": removed_files,

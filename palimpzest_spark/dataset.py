@@ -276,6 +276,30 @@ class Dataset:
     def sem_topk(self, index: "Dataset", vec_col: str, query: list[float], k: int) -> "Dataset":
         return self._wrap(embedding_top_k(index.df, vec_col, query, k))
 
+    def sem_topk_attach(
+        self,
+        index: "Dataset",
+        search_attr: str,
+        record_id: str,
+        output_attr: str = "retrieved",
+        k: int = 5,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        dim: int = 64,
+        bits: int | None = None,
+    ) -> "Dataset":
+        """Per-record retrieve-and-attach — the reference's ``Dataset.sem_topk``
+        (``dataset.py:611-648`` / ``topk.py:122-155``): embed each record's
+        ``search_attr``, query the vector ``index``, attach the top-k hits as
+        a rank-ordered array column ``output_attr``."""
+        from palimpzest_spark.functions.similarity import sem_topk
+
+        return self._wrap(
+            sem_topk(self.df, index.df, search_attr, record_id,
+                     output_attr=output_attr, k=k, vec_col=vec_col,
+                     id_col=id_col, dim=dim, bits=bits)
+        )
+
     def sem_map_with_strategy(
         self,
         instruction: str,

@@ -187,16 +187,21 @@ def audio_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Fill width/height/channels for PNG assets from IHDR alone (no
-    inflate — O(1) per file regardless of image size)."""
+    """Fill width/height/channels for PNG (IHDR) and JPEG (SOF segment)
+    assets from the header walk alone — O(1) per file regardless of image
+    size, no pixel decode."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palimpzest_spark.sources.jpeg_lite import jpeg_metadata
         from palimpzest_spark.sources.png_lite import png_metadata
 
         for pdf in batches:
             ws, hs, cs = [], [], []
             for b in pdf[content_col]:
-                meta = png_metadata(bytes(b)) if b is not None else None
+                meta = None
+                if b is not None:
+                    raw = bytes(b)
+                    meta = png_metadata(raw) or jpeg_metadata(raw)
                 w, h, c = meta if meta else (None, None, None)
                 ws.append(w)
                 hs.append(h)

@@ -342,3 +342,82 @@ def ivf_top_k(
         .limit(k)
         .drop("_ivf")
     )
+
+
+def sem_topk(
+    records: DataFrame,
+    corpus: DataFrame,
+    search_attr: str,
+    record_id: str,
+    output_attr: str = "retrieved",
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_col: str | None = None,
+    dim: int = 64,
+    bits: int | None = None,
+    embed_fn=None,
+) -> DataFrame:
+    """Per-record retrieve-and-attach — the reference's ``TopKOp`` semantics
+    (``/root/reference/src/palimpzest/query/operators/topk.py:122-155,
+    233-278``): embed each record's ``search_attr``, retrieve its top-k
+    corpus rows by cosine, and attach them to the record as a NEW column
+    ``output_attr`` = array<struct(rank, id, similarity[, payload])>,
+    rank-ordered. Unlike ``knn_join`` (small literal query set) this is
+    per-record at DataFrame scale.
+
+    Plan: one vectorized embed UDF over the records, then
+    - exact tier (``bits=None``): records × broadcast(corpus) — corpus is an
+      index-sized dimension, records never shuffle for the join;
+    - LSH tier (``bits=b``): corpus bucketed once by sign pattern
+      (``lsh_bucket_col`` — pure JVM), records probe their own bucket plus
+      all hamming-1 neighbors (bits+1 probes), candidates equi-join on the
+      bucket id — at 100 TB the shuffle carries bucket ids + vectors of the
+      probed slice only, never the full cross product.
+    Both tiers finish with a per-record window top-k (skew = bucket size,
+    bounded by bits) and a sort_array(collect_list) pack — deterministic:
+    ties break on ascending corpus id.
+    """
+    from palimpzest_spark.operators.strategies import embed_text_udf
+
+    embed = embed_fn or embed_text_udf(dim)
+    q = records.select(record_id, search_attr).withColumn(
+        "_qv", embed(F.col(search_attr))
+    )
+    ccols = [id_col, vec_col] + ([payload_col] if payload_col else [])
+    c = corpus.select(*ccols)
+
+    if bits is not None:
+        planes = hyperplanes(dim, bits)
+        cb = c.withColumn("_cb", lsh_bucket_col(vec_col, planes))
+        qb = q.withColumn("_qb0", lsh_bucket_col("_qv", planes))
+        probes = F.array(
+            F.col("_qb0"),
+            *[F.col("_qb0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+        )
+        joined = qb.withColumn("_cb", F.explode(probes)).join(cb, "_cb")
+    else:
+        joined = q.join(F.broadcast(c))
+
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col(vec_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    sim = dot / (_norm("_qv") * _norm(vec_col))
+    w = Window.partitionBy(record_id).orderBy(F.desc("_sim"), F.asc(id_col))
+    top = (
+        joined.withColumn("_sim", sim)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    entry = F.struct(
+        F.col("_rk").alias("rank"),
+        F.col(id_col).alias("id"),
+        F.col("_sim").alias("similarity"),
+        *([F.col(payload_col).alias(payload_col)] if payload_col else []),
+    )
+    packed = top.groupBy(record_id).agg(
+        F.sort_array(F.collect_list(entry)).alias(output_attr)
+    )
+    return records.join(packed, record_id, "left")

@@ -465,18 +465,23 @@ def ann_ivf_topk(spark, sf_dir):
     """IVF scale tier: seeded spherical k-means coarse quantizer (trained on
     a bounded sample), corpus materialized partitioned by nearest centroid,
     query probes nprobe inverted lists via parquet partition pruning."""
+    import os
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     C = similarity.train_ivf_centroids(emb, n_centroids=16, iters=8)
-    with tempfile.TemporaryDirectory(prefix="ivf_") as d:
-        path = f"{d}/index"
+    # index lives under a per-run tmp dir that OUTLIVES this function (the
+    # caller collects lazily), so the result plan reads the real partitioned
+    # index instead of round-tripping rows through the driver (VERDICT r2
+    # minor #5); one index per (process, sf_dir), rebuilt only when absent
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"pz_ivf_index_{key}_{os.getpid()}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         similarity.write_ivf_index(emb, path, C)
-        out = similarity.ivf_top_k(spark, path, list(query), C, k=10, nprobe=4)
-        return spark.createDataFrame(
-            out.select("vec_id", "label").toPandas()
-        )
+    return similarity.ivf_top_k(spark, path, list(query), C, k=10, nprobe=4).select(
+        "vec_id", "label"
+    )
 
 
 @_q("embedding_neardup")  # rows-only (LSH blocking engine-internal)
@@ -555,6 +560,28 @@ def cdc_time_travel_changes(spark, sf_dir):
         table_changes(table, spark, v_mid)
         .select("conv_id", "turn_idx", "_change_type", "text")
         .orderBy("conv_id", "turn_idx")
+    )
+
+
+@_q("sem_topk_attach")  # rows-only: embed stub not SQL-expressible
+def sem_topk_attach(spark, sf_dir):
+    """Per-record retrieve-and-attach (reference TopKOp,
+    reference topk.py:122-155,233-278): embed each document's text, attach
+    its top-3 nearest embedding-corpus rows as a rank-ordered array column,
+    then explode to flat (doc_id, rank, vec_id) rows for the driver check."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 20))
+        .select("doc_id", "text")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.sem_topk(
+        docs, emb, search_attr="text", record_id="doc_id", k=3, dim=64
+    )
+    return (
+        out.select("doc_id", F.explode("retrieved").alias("r"))
+        .select("doc_id", F.col("r.rank").alias("rank"), F.col("r.id").alias("vec_id"))
+        .orderBy("doc_id", "rank")
     )
 
 

@@ -225,3 +225,49 @@ def test_feedgen_payloads_are_valid_json():
             assert {"conv_id", "turn_idx", "role", "text", "tool"} <= set(body)
             n_parsed += 1
     assert n_parsed > 0
+
+
+def test_jpeg_sof_metadata_and_image_metadata_dispatch(spark):
+    """JPEG SOF header walk (ITU-T T.81 B.2): width/height/channels from a
+    synthesized minimal JPEG; image_metadata dispatches PNG vs JPEG vs
+    garbage per row."""
+    import struct
+
+    import numpy as np
+
+    from palimpzest_spark.functions import multimodal
+    from palimpzest_spark.sources.jpeg_lite import jpeg_metadata
+    from palimpzest_spark.sources.png_lite import encode_png
+
+    def make_jpeg(w, h, ncomp=3, marker=0xC0):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = (
+            bytes([0xFF, marker])
+            + struct.pack(">H", 8 + 3 * ncomp)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + bytes([ncomp])
+            + b"\x00" * (3 * ncomp)
+        )
+        return b"\xff\xd8" + app0 + sof
+
+    assert jpeg_metadata(make_jpeg(640, 480)) == (640, 480, 3)
+    assert jpeg_metadata(make_jpeg(31, 17, ncomp=1)) == (31, 17, 1)
+    # progressive (SOF2) parses the same frame header
+    assert jpeg_metadata(make_jpeg(100, 50, marker=0xC2)) == (100, 50, 3)
+    # DHT shares the 0xCn space but is NOT a frame header
+    dht = b"\xff\xd8" + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    assert jpeg_metadata(dht + make_jpeg(9, 9)[2:]) == (9, 9, 3)
+    assert jpeg_metadata(b"\x89PNG\r\n") is None
+    assert jpeg_metadata(b"\xff\xd8\xff") is None  # truncated
+
+    png = encode_png(np.zeros((5, 7, 3), dtype=np.uint8))
+    rows = [(0, png), (1, make_jpeg(12, 8)), (2, b"not an image")]
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["channels"])
+        for r in multimodal.image_metadata(df).collect()
+    }
+    assert got[0] == (7, 5, 3)
+    assert got[1] == (12, 8, 3)
+    assert got[2] == (None, None, None)
