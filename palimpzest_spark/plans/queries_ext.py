@@ -563,6 +563,177 @@ def cdc_time_travel_changes(spark, sf_dir):
     )
 
 
+def _events_change_feed(spark, sf_dir, with_tool: bool):
+    """Deterministic change feed derived from the driver-registered ``events``
+    table: key = (user_id, event_id % 5), watermark = (ts, event_id), ~2%
+    deletes (value < 1.0). Written as 4 interleaved ``feed-*.parquet`` files —
+    each spans the FULL ts range, so replaying them as separate batches makes
+    cross-batch late arrivals exercise the LWW watermark for real (a later
+    batch holds events older than rows already merged).
+
+    ``with_tool=True`` adds a ``tool`` payload key ONLY in the last feed file
+    (event_id % 4 == 3): batches 0-2 infer a payload schema without it, so the
+    engine must widen the table schema mid-replay (north-rule schema
+    evolution), and the oracle recomputes the winner's tool with plain SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    payload_fields = [
+        F.col("event_type").alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("text"),
+    ]
+    if with_tool:
+        # NULL for 3 of 4 feed files; to_json drops null fields, so the key
+        # is ABSENT (not null) until the last batch → real schema widening
+        payload_fields.append(
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(4)) == 3,
+                F.concat(
+                    F.lit("tool-"),
+                    F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+                ),
+            ).alias("tool")
+        )
+    feed = ev.select(
+        F.when(F.col("value") < 1.0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("long").alias("turn_idx"),
+        F.to_json(F.struct(*payload_fields)).alias("payload"),
+        F.col("ts"),
+        F.col("event_id").cast("long").alias("event_seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+    )
+    d = tempfile.mkdtemp(prefix="pz_cdc_feedq_")
+    for i in range(4):
+        w = os.path.join(d, f"w{i}")
+        feed.filter(F.pmod(F.col("event_seq"), F.lit(4)) == i).coalesce(1).write.parquet(w)
+        shutil.move(
+            glob.glob(os.path.join(w, "part-*.parquet"))[0],
+            os.path.join(d, f"feed-{i:04d}.parquet"),
+        )
+        shutil.rmtree(w)
+    # base table: one seed row per conversation at a key (turn_idx=-1) the
+    # feed never writes, so bootstrap rows must survive the replay unchanged
+    base = ev.groupBy(F.col("user_id").cast("string").alias("conv_id")).agg(
+        F.min("ts").alias("ts")
+    )
+    # the base NEVER has a tool column — in the with_tool variant the engine
+    # must widen the live table schema when batch 3's payloads introduce it
+    base.select(
+        "conv_id",
+        F.lit(-1).cast("long").alias("turn_idx"),
+        F.lit("seed").alias("role"),
+        F.concat(F.lit("seed#"), F.col("conv_id")).alias("text"),
+        "ts",
+    ).write.parquet(os.path.join(d, "base"))
+    return d
+
+
+_LWW_FEED_SQL = """
+  SELECT cast(user_id AS varchar) AS conv_id,
+         event_id % 5 AS turn_idx,
+         event_type AS role,
+         event_type || '#' || cast(event_id AS varchar) AS text,
+         {tool_expr}
+         ts,
+         event_id AS event_seq,
+         CASE WHEN value < 1.0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+"""
+
+
+@_q(
+    "cdc_lww_replay_events",
+    oracle="""
+WITH feed AS ({feed}),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text, op,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+         ) AS rn
+  FROM feed
+)
+SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'D'
+UNION ALL
+SELECT cast(user_id AS varchar) AS conv_id, cast(-1 AS bigint) AS turn_idx,
+       'seed' AS role, 'seed#' || cast(user_id AS varchar) AS text
+FROM events GROUP BY user_id
+ORDER BY conv_id, turn_idx
+""".format(feed=_LWW_FEED_SQL.format(tool_expr="")),
+)
+def cdc_lww_replay_events(spark, sf_dir):
+    """ORACLE-CHECKED end-to-end CDC replay (north-rule flagship): the
+    ``events`` table becomes a 10k-event change feed (insert/update/delete,
+    late arrivals across batches), replayed through the REAL engine path —
+    bootstrap → 4 ``merge_batch`` calls → merge-on-read fold — and the final
+    table state must equal a plain SQL rank-1 LWW fold computed by DuckDB.
+    Converts the flagship's correctness evidence from rows-only to a full
+    row-count + schema + value-hash driver gate."""
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = _events_change_feed(spark, sf_dir, with_tool=False)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    replay_batches(spark, table, d, files_per_batch=1)
+    return (
+        table.read(spark)
+        .select("conv_id", "turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+@_q(
+    "cdc_schema_evolution_replay",
+    oracle="""
+WITH feed AS ({feed}),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text, tool, op,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+         ) AS rn
+  FROM feed
+)
+SELECT conv_id, turn_idx, role, text, tool
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""".format(
+        feed=_LWW_FEED_SQL.format(
+            tool_expr="CASE WHEN event_id % 4 = 3 "
+            "THEN 'tool-' || cast(event_id % 7 AS varchar) END AS tool,"
+        )
+    ),
+)
+def cdc_schema_evolution_replay(spark, sf_dir):
+    """ORACLE-CHECKED mid-replay schema evolution: batches 0-2 carry payloads
+    WITHOUT the ``tool`` key, batch 3 introduces it, so the engine must widen
+    the live table schema between merges (envelope-driven widening,
+    ``cdc/reconcile.py``). The driver's DuckDB oracle recomputes each key's
+    LWW winner including its tool value — rows last written before the
+    widening surface tool as NULL."""
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = _events_change_feed(spark, sf_dir, with_tool=True)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    replay_batches(spark, table, d, files_per_batch=1)
+    return (
+        table.read(spark)
+        .filter(F.col("turn_idx") >= 0)
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 @_q("sem_topk_attach")  # rows-only: embed stub not SQL-expressible
 def sem_topk_attach(spark, sf_dir):
     """Per-record retrieve-and-attach (reference TopKOp,
