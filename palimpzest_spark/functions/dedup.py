@@ -407,3 +407,105 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# --- winnowing fingerprints --------------------------------------------------------
+
+
+_WINNOW_P = 2147483647  # 2^31 - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """One row per (document, selected winnowing fingerprint) — the exploded
+    MOSS fingerprint index (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    character k-gram of the normalized text, slide a window of ``w``
+    consecutive hashes, keep each window's minimum. Guarantee: any substring
+    match of length ≥ w + k - 1 between two documents yields at least one
+    SHARED selected fingerprint, while only ~2/(w+1) of gram hashes are kept.
+    As a set, the selected fingerprints are exactly the distinct window
+    minima, which is what this computes.
+
+    The gram hash is deliberately a portable 31-polynomial over character
+    codes mod 2^31-1 (seed 0) instead of ``xxhash64``: DuckDB recomputes the
+    identical fold (``list_reduce``), so driver queries built on this are
+    value-hash ORACLE-CHECKED cross-engine, not rows-only.
+
+    Normalization (lower + strip non-alnum) is a JVM expression; hashing and
+    window minima are Arrow-batched numpy (k vectorized passes for the
+    polynomial, ``sliding_window_view`` minima — same shape as the MinHash
+    signature path; a pure higher-order-function formulation re-inlines the
+    normalization regexp per character and is quadratic). No per-row Python
+    arithmetic. At scale the output is the narrow shape you want: downstream
+    self-join/groupBy shuffles only (int64, id) pairs, never text.
+    """
+    p = _WINNOW_P
+
+    @F.pandas_udf("array<long>")
+    def fps(norm: pd.Series) -> pd.Series:
+        out = []
+        for s in norm:
+            if s is None or len(s) < k:
+                out.append([])
+                continue
+            a = np.frombuffer(s.encode("latin-1", errors="replace"), dtype=np.uint8)
+            a = a.astype(np.int64)
+            n_grams = len(a) - k + 1
+            h = np.zeros(n_grams, dtype=np.int64)
+            for j in range(k):  # definitional fold: h = (31h + c) mod p
+                h = (h * 31 + a[j : j + n_grams]) % p
+            if n_grams >= w:
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            else:
+                mins = h.min(keepdims=True)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(fps(norm)).alias("fingerprint")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    local-overlap / containment detection (MOSS-style), complementary to
+    MinHash (which measures whole-document resemblance).
+
+    Plan shape: explode → optional document-frequency cap (a fingerprint in
+    > ``max_df`` docs is a stop-gram: boilerplate that would fan out
+    quadratically; dropping it bounds per-fingerprint join fan-out, the same
+    df-cap discipline as ``ngram_jaccard_pairs``) → fingerprint-equality
+    self-join (id < id) → groupBy pair count. Shuffles ids + 8-byte
+    fingerprints only.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_df is not None:
+        keep = fps.groupBy("fingerprint").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_df
+        )
+        fps = fps.join(keep.select("fingerprint"), "fingerprint")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -734,6 +734,179 @@ def cdc_schema_evolution_replay(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_stream_kill_resume",
+    oracle="""
+WITH feed AS ({feed}),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text, op,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+         ) AS rn
+  FROM feed
+)
+SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+""".format(feed=_LWW_FEED_SQL.format(tool_expr="")),
+)
+def cdc_stream_kill_resume(spark, sf_dir):
+    """ORACLE-CHECKED checkpoint resume (north rule: "a killed job resumes
+    from checkpoint and replays to the identical final table state"): the
+    4-file feed runs through the REAL Structured Streaming path
+    (``readStream`` → ``foreachBatch(merge_batch)`` with a checkpoint,
+    ``cdc/runner.py:84``), is KILLED after 2 microbatches, then restarted
+    with the same checkpoint. The resumed stream continues from the source
+    offsets (no batch re-applied, none skipped) and the final state must
+    equal DuckDB's rank-1 LWW fold of the whole feed — value-hash-checked,
+    so a resume that dropped or double-applied a batch fails the gate."""
+    import tempfile
+
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_stream
+
+    d = _events_change_feed(spark, sf_dir, with_tool=False)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    ckpt = tempfile.mkdtemp(prefix="pz_cdc_ckpt_")
+    feed_glob = f"{d}/feed-*.parquet"  # the base/ and lake/ dirs share d
+    # first incarnation: killed mid-stream after 2 of 4 one-file microbatches
+    replay_stream(spark, table, feed_glob, ckpt, max_files_per_trigger=1, max_batches=2)
+    # second incarnation: same checkpoint → resumes at the 3rd file
+    replay_stream(spark, table, feed_glob, ckpt, max_files_per_trigger=1)
+    return (
+        table.read(spark)
+        .filter(F.col("turn_idx") >= 0)
+        .select("conv_id", "turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+@_q(
+    "cdc_cdf_between_versions",
+    oracle="""
+WITH feed AS ({feed}),
+mid AS (
+  SELECT * FROM (
+    SELECT conv_id, turn_idx, role, text, op, event_seq,
+           row_number() OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+           ) AS rn
+    FROM feed WHERE event_seq % 4 IN (0, 1)
+  ) WHERE rn = 1
+),
+fin AS (
+  SELECT * FROM (
+    SELECT conv_id, turn_idx, role, text, op, event_seq,
+           row_number() OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+           ) AS rn
+    FROM feed
+  ) WHERE rn = 1
+),
+diff AS (
+  SELECT f.conv_id, f.turn_idx,
+         CASE
+           WHEN (m.conv_id IS NULL OR m.op = 'D') AND f.op <> 'D' THEN 'insert'
+           WHEN m.op <> 'D' AND f.op = 'D' THEN 'delete'
+           WHEN m.op <> 'D' AND f.op <> 'D'
+                AND m.event_seq <> f.event_seq THEN 'update'
+         END AS _change_type,
+         CASE WHEN m.op <> 'D' AND f.op = 'D' THEN m.role ELSE f.role END AS role,
+         CASE WHEN m.op <> 'D' AND f.op = 'D' THEN m.text ELSE f.text END AS text
+  FROM fin f LEFT JOIN mid m USING (conv_id, turn_idx)
+)
+SELECT conv_id, turn_idx, _change_type, role, text
+FROM diff WHERE _change_type IS NOT NULL
+ORDER BY conv_id, turn_idx
+""".format(feed=_LWW_FEED_SQL.format(tool_expr="")),
+)
+def cdc_cdf_between_versions(spark, sf_dir):
+    """ORACLE-CHECKED change-data-feed read: replay batches 0-1 of the
+    deterministic events feed, pin that snapshot version, replay batches
+    2-3, then ask ``table_changes`` (``cdc/timetravel.py:80``) for the net
+    row-level diff between the two versions. The oracle recomputes the diff
+    of the two LWW folds in SQL: insert = key not live at mid, delete = key
+    live at mid whose final winner is a tombstone (pre-image columns),
+    update = live at both under a different winning (ts, event_seq). Every
+    key in the mid fold exists in the final fold (the feed only grows), so
+    a LEFT join from the final fold is a full diff."""
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+    from palimpzest_spark.cdc.timetravel import table_changes
+
+    d = _events_change_feed(spark, sf_dir, with_tool=False)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    replay_batches(spark, table, d, files_per_batch=1, max_batches=2)
+    v_mid = table.current_version()  # exact snapshot after feed files 0-1
+    replay_batches(spark, table, d, files_per_batch=1, skip_files=2, start_batch_id=2)
+    return (
+        table_changes(table, spark, v_mid)
+        .select("conv_id", "turn_idx", "_change_type", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+_WINNOW_K, _WINNOW_W = 24, 8
+
+
+@_q(
+    "dedup_winnow_overlap",
+    oracle="""
+WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
+           FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) >= {k} THEN
+      list_transform(range(0, length(norm) - {k} + 1), i ->
+        list_reduce(
+          [cast(0 AS bigint)] || list_transform(range(1, {k} + 1),
+              j -> cast(ascii(substring(norm, cast(i + j AS int), 1)) AS bigint)),
+          (h, c) -> (h * 31 + c) % 2147483647))
+    ELSE [] END AS hashes
+  FROM d),
+sel AS (
+  SELECT doc_id,
+    CASE WHEN len(hashes) = 0 THEN cast([] AS bigint[])
+         WHEN len(hashes) >= {w} THEN
+           list_distinct(list_transform(range(1, len(hashes) - {w} + 2),
+             t -> list_min(list_slice(hashes, cast(t AS int), cast(t + {w} - 1 AS int)))))
+         ELSE [list_min(hashes)] END AS fps
+  FROM g),
+fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM sel),
+kept AS (SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 20),
+fpk AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN kept USING (fingerprint)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+  FROM fpk a JOIN fpk b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, shared_fps FROM pairs WHERE shared_fps >= 2
+ORDER BY id_a, id_b
+""".format(k=_WINNOW_K, w=_WINNOW_W),
+)
+def dedup_winnow_overlap(spark, sf_dir):
+    """ORACLE-CHECKED winnowing fingerprint overlap (MOSS,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): character-24-gram hashes, window-8
+    minima selection, document pairs sharing ≥2 selected fingerprints after
+    a df≤20 stop-gram cap. The gram hash is a portable 31-polynomial mod
+    2^31-1, so DuckDB recomputes the IDENTICAL fingerprints via
+    list_reduce/list_transform and the driver value-hashes the pairs —
+    unlike MinHash/SimHash this near-dup tier is fully cross-engine-checked,
+    not rows-only. Complementary to MinHash: winnowing detects LOCAL overlap
+    (shared passages ≥ w+k-1 chars), resemblance-style signatures detect
+    whole-document similarity. Plan: explode → df-cap → fingerprint
+    equi-join → pair count; only (int64, id) pairs shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.winnow_overlap_pairs(
+            docs, k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_df=20
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @_q("sem_topk_attach")  # rows-only: embed stub not SQL-expressible
 def sem_topk_attach(spark, sf_dir):
     """Per-record retrieve-and-attach (reference TopKOp,

@@ -140,17 +140,21 @@ def pdf_files(spark: SparkSession, path: str, parser: str = "lite") -> DataFrame
 def xls_files(spark: SparkSession, path: str, parser: str = "lite") -> DataFrame:
     """XLS → one row per sheet with real cell data, ``iter_dataset.py:425-469``
     semantics (sheet enumeration) + ``utils/udfs.py:34-56`` (per-sheet header
-    + stringified rows). ``parser="lite"`` (default) parses .xlsx with the
-    stdlib-only SpreadsheetML reader (``sources/xlsx_lite.py``); legacy
-    binary .xls needs xlrd and stays gated."""
+    + stringified rows). ``parser="lite"`` (default) parses BOTH formats with
+    stdlib-only readers: .xlsx via SpreadsheetML (``sources/xlsx_lite.py``)
+    and legacy binary .xls via the BIFF8/CFB codec (``sources/xls_biff.py``),
+    dispatched on the file magic. ``parser="xlrd"`` names the full-fidelity
+    dependency (cell formats, dates-as-dates) this container lacks."""
     raw = binary_files(spark, path, glob="*.xls*")
     if parser == "xlrd":
         raise NotImplementedError(
-            "legacy binary .xls needs xlrd (absent in this container); "
-            ".xlsx parses for real via parser='lite' (sources/xlsx_lite.py)"
+            "full-fidelity .xls needs xlrd (absent in this container); "
+            "parser='lite' parses .xlsx AND binary BIFF8 .xls with the "
+            "stdlib readers in sources/xlsx_lite.py and sources/xls_biff.py"
         )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from palimpzest_spark.sources.xls_biff import read_xls
         from palimpzest_spark.sources.xlsx_lite import read_xlsx
 
         for pdf in batches:
@@ -159,7 +163,12 @@ def xls_files(spark: SparkSession, path: str, parser: str = "lite") -> DataFrame
                 if b is None:
                     continue
                 try:
-                    sheets = read_xlsx(bytes(b))
+                    blob = bytes(b)
+                    # dispatch on magic: OLE2/CFB = BIFF8, zip = OOXML
+                    if blob[:4] == b"\xd0\xcf\x11\xe0":
+                        sheets = read_xls(blob)
+                    else:
+                        sheets = read_xlsx(blob)
                 except Exception:
                     sheets = []
                 for s in sheets:

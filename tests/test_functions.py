@@ -271,3 +271,66 @@ def test_jpeg_sof_metadata_and_image_metadata_dispatch(spark):
     assert got[0] == (7, 5, 3)
     assert got[1] == (12, 8, 3)
     assert got[2] == (None, None, None)
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing guarantee (SIGMOD'03): a shared passage of length >= w+k-1
+    normalized chars yields >= 1 shared selected fingerprint; documents with
+    no common k-gram share none."""
+    import random
+
+    rng = random.Random(7)
+    k, w = 24, 8
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+
+    def salad(seed, n):
+        r = random.Random(seed)
+        vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                 "golf", "hotel", "india", "juliet"]
+        return " ".join(r.choice(vocab) for _ in range(n))
+
+    rows = [
+        (0, salad(1, 40) + " " + passage + " " + salad(2, 40)),
+        (1, salad(3, 40) + " " + passage + " " + salad(4, 40)),
+        # disjoint alphabets → no shared k-gram at all
+        (2, "zzz " * 60),
+        (3, "qqq " * 60),
+        (4, "short"),  # shorter than k after normalization → no fingerprints
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fps = dedup.winnow_fingerprints(df, k=k, w=w).toPandas()
+    by_doc = {i: set(fps[fps.id == i].fingerprint) for i in range(5)}
+    assert len(passage.replace(" ", "")) >= w + k - 1
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    assert not (by_doc[2] & by_doc[3])
+    assert by_doc[4] == set()
+
+    pairs = dedup.winnow_overlap_pairs(df, k=k, w=w, min_shared=1).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got
+    assert (2, 3) not in got
+
+    # partitioning-invariant: same pairs from a repartitioned input
+    pairs2 = dedup.winnow_overlap_pairs(
+        df.repartition(7), k=k, w=w, min_shared=1
+    ).toPandas()
+    assert set(zip(pairs2.id_a, pairs2.id_b)) == got
+    _ = rng  # keep the seeded generator's intent obvious
+
+
+def test_winnow_max_df_stop_grams(spark):
+    """A fingerprint present in more than max_df docs is boilerplate and must
+    not produce pairs; unique overlaps survive the cap."""
+    boiler = "this exact boilerplate footer appears everywhere in the corpus"
+    uniq = "completely singular shared sentence only in two documents here"
+    rows = [(i, f"document body {i} " + boiler) for i in range(6)]
+    rows += [(10, "aaa " + uniq + " tail ten"), (11, "bbb " + uniq + " tail eleven")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = dedup.winnow_overlap_pairs(
+        df, k=24, w=8, min_shared=1, max_df=3
+    ).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (10, 11) in got
+    assert not any(a < 6 and b < 6 for a, b in got), (
+        "boilerplate-only pairs must be removed by the df cap"
+    )
