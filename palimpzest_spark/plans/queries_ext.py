@@ -849,6 +849,124 @@ def cdc_cdf_between_versions(spark, sf_dir):
     )
 
 
+_HEX_TO_DEC = (
+    "cast(list_reduce([cast(0 AS bigint)] || list_transform(range(1, 9), "
+    "i -> cast(strpos('0123456789abcdef', substring({h}, cast(i AS int), 1)) - 1 "
+    "AS bigint)), (a, b) -> a * 16 + b) AS varchar)"
+)
+
+
+@_q(
+    "sem_filter_map_oracle",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang,
+         cast(doc_id AS varchar) || '|' || lang AS joined
+  FROM documents
+)
+SELECT doc_id, lang,
+       {dec} AS sem_summary
+FROM base
+WHERE strpos('02468ace', substring(md5('keep docs|' || joined), 8, 1)) > 0
+ORDER BY doc_id
+""".format(dec=_HEX_TO_DEC.format(h="md5('summarize|' || joined)")),
+)
+def sem_filter_map_oracle(spark, sf_dir):
+    """ORACLE-CHECKED semantic filter + map: the sem-operator machinery
+    (``Dataset.sem_filter`` → boolean inference column + filter,
+    ``Dataset.sem_map`` → appended inference column — the reference's
+    LLMFilter/LLMConvertBonded plan shapes, ``filter.py:165-258`` /
+    ``convert.py:352-372``) driven by a pluggable md5 inference stub
+    (``sem_fn_factory``, the same extension point a real batch-inference
+    endpoint plugs into). md5 is computable in DuckDB, so unlike the
+    crc32 default stub the full pipeline — prompt-joined row rendering,
+    parity decision, output column — is value-hash-checked cross-engine:
+    the oracle recomputes the decision from ``substr(md5(...), 8, 1)``
+    parity and the output via an explicit hex→decimal fold."""
+    import hashlib
+
+    from palimpzest_spark.dataset import Dataset
+
+    def md5_sem(instruction: str):
+        def fn(batch: pd.DataFrame) -> pd.Series:
+            joined = batch.astype(str).agg("|".join, axis=1)
+            return joined.map(
+                lambda s: int(
+                    hashlib.md5(f"{instruction}|{s}".encode()).hexdigest()[:8], 16
+                )
+            )
+
+        return fn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = (
+        Dataset(docs, sem_fn_factory=md5_sem)
+        .sem_filter("keep docs")
+        .sem_map("summarize", output_field="sem_summary")
+    )
+    return out.df.orderBy("doc_id")
+
+
+@_q(
+    "sem_join_oracle",
+    oracle="""
+WITH l AS (
+  SELECT doc_id, lang, source FROM documents WHERE doc_id % 25 = 0
+),
+r AS (
+  SELECT doc_id AS doc_id_right, lang, n_chars
+  FROM documents WHERE doc_id % 40 = 0
+),
+crossed AS (
+  SELECT l.doc_id, l.lang, l.source, r.doc_id_right, r.n_chars,
+         -- Spark's USING-join column order: key first, then left rest,
+         -- then right rest — the inference stub sees exactly this order
+         l.lang || '|' || cast(l.doc_id AS varchar) || '|' || l.source
+           || '|' || cast(r.doc_id_right AS varchar)
+           || '|' || cast(r.n_chars AS varchar) AS joined
+  FROM l JOIN r USING (lang)
+)
+SELECT doc_id, lang, source, doc_id_right, n_chars
+FROM crossed
+WHERE strpos('02468ace', substring(md5('same topic|' || joined), 8, 1)) > 0
+ORDER BY doc_id, doc_id_right
+""",
+)
+def sem_join_oracle(spark, sf_dir):
+    """ORACLE-CHECKED semantic theta-join (the reference's NestedLoopsJoin,
+    ``join.py:395-489``): blocked pair generation (``block_on=['lang']`` —
+    the cartesian guard), duplicate right columns renamed ``*_right``, and a
+    per-pair boolean inference column from the pluggable md5 stub. DuckDB
+    rebuilds the identical pair space and decision, value-hash-checking the
+    surviving pairs — the sem_join plan shape is driver-gated, not just
+    pytest-gated."""
+    import hashlib
+
+    from palimpzest_spark.dataset import Dataset
+
+    def md5_sem(instruction: str):
+        def fn(batch: pd.DataFrame) -> pd.Series:
+            joined = batch.astype(str).agg("|".join, axis=1)
+            return joined.map(
+                lambda s: int(
+                    hashlib.md5(f"{instruction}|{s}".encode()).hexdigest()[:8], 16
+                )
+            )
+
+        return fn
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "lang", "source")
+    right = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    out = Dataset(left, sem_fn_factory=md5_sem).sem_join(
+        Dataset(right), "same topic", block_on=["lang"]
+    )
+    return out.df.orderBy("doc_id", "doc_id_right")
+
+
 _WINNOW_K, _WINNOW_W = 24, 8
 
 
