@@ -1568,3 +1568,61 @@ def training_export_pipeline(spark, sf_dir):
         # quality_score_sql output is already 4dp-rounded on both engines
         F.col("quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_cluster_canonical",
+    oracle=r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')
+         )) AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk AS (
+  SELECT s AS node, s AS reach FROM edges
+  UNION
+  SELECT w.node, e.d AS reach FROM walk w JOIN edges e ON e.s = w.reach
+),
+comp AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.node AS doc_id, comp.cluster_id, sizes.cluster_size,
+       CASE WHEN comp.node = comp.cluster_id THEN 1 ELSE 0 END AS is_canonical
+FROM comp JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+""",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """ORACLE-CHECKED dedup clustering: exact n-gram-Jaccard near-dup pairs
+    (``functions/dedup.ngram_jaccard_pairs``, the prefix-filtered AllPairs
+    join) fed through distributed connected components
+    (``functions/graph.connected_components`` — iterative min-label
+    propagation, one (node,label) shuffle per round, localCheckpoint-
+    truncated lineage) into (doc_id, cluster_id, cluster_size,
+    is_canonical). The oracle recomputes the SAME pair space brute-force
+    and the transitive closure with a recursive CTE — so the component
+    labels, sizes, and min-id canonical selection are all value-hash-
+    checked cross-engine."""
+    from palimpzest_spark.functions.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, n=3)
+    return dedup_clusters(pairs).orderBy("doc_id")
