@@ -1626,3 +1626,267 @@ def dedup_cluster_canonical(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, n=3)
     return dedup_clusters(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Strategy operators, oracle-checked via the pluggable md5 inference stub
+# (same extension point as sem_filter_map_oracle — DuckDB recomputes every
+# chunk/fan-out/fan-in/chain step plus the md5 "model calls" themselves)
+# ---------------------------------------------------------------------------
+
+
+def _md5_infer(tag: str):
+    """Pluggable inference stub whose outputs DuckDB can recompute:
+    ``substring(md5(tag || '|' || prompt), 1, 12)``."""
+    import hashlib
+
+    def fn(prompts: pd.Series) -> pd.Series:
+        return prompts.fillna("").map(
+            lambda p: hashlib.md5(f"{tag}|{p}".encode()).hexdigest()[:12]
+        )
+
+    return fn
+
+
+@_q(
+    "sem_split_convert_oracle",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, text, length(coalesce(text, '')) AS sz
+  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+),
+p AS (
+  SELECT doc_id, text,
+         greatest(cast(ceil(sz / 4.0) AS int), 1) AS clen,
+         CASE WHEN sz < 64 THEN 1 ELSE 4 END AS n
+  FROM d
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n), i -> struct_pack(
+            idx := i,
+            chunk := substring(text, cast(i * clen + 1 AS int), clen))),
+           recursive := true)
+  FROM p
+),
+prop AS (
+  SELECT doc_id, idx,
+         substring(md5('split-p|' || 'summarize each part' || chr(10) || chr(10) || chunk), 1, 12) AS proposal
+  FROM ch
+),
+m AS (
+  SELECT doc_id, string_agg(proposal, chr(10) ORDER BY idx) AS joined
+  FROM prop GROUP BY doc_id
+)
+SELECT doc_id, substring(md5('split-m|' || joined), 1, 12) AS sem_out
+FROM m ORDER BY doc_id
+""",
+)
+def sem_split_convert_oracle(spark, sf_dir):
+    """ORACLE-CHECKED SplitConvert (reference ``split.py:20-168``): chunk
+    explode → per-chunk proposer → ordered groupBy fan-in → merger, with
+    the md5 inference stub plugged into both model slots so DuckDB can
+    recompute the whole chain — the chunk boundaries, the proposal
+    ordering, and the merge prompt are all value-hash-checked."""
+    from palimpzest_spark.operators.strategies import split_convert
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    out = split_convert(
+        docs,
+        "summarize each part",
+        key_cols=["doc_id"],
+        num_chunks=4,
+        min_size_to_chunk=64,
+        infer_fn=_md5_infer("split-p"),
+        merge_fn=_md5_infer("split-m"),
+        output_field="sem_out",
+    )
+    return out.select("doc_id", "sem_out").orderBy("doc_id")
+
+
+@_q(
+    "sem_mixture_oracle",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         'rate quality' || chr(10) || chr(10) || coalesce(text, '') AS prompt
+  FROM documents WHERE doc_id % 9 = 0
+),
+props AS (
+  SELECT doc_id,
+         substring(md5('moa-p0|' || prompt), 1, 12) AS p0,
+         substring(md5('moa-p1|' || prompt), 1, 12) AS p1,
+         substring(md5('moa-p2|' || prompt), 1, 12) AS p2
+  FROM d
+)
+SELECT doc_id,
+       substring(md5('moa-agg|' || p0 || chr(10) || '###' || chr(10) || p1
+                     || chr(10) || '###' || chr(10) || p2), 1, 12) AS sem_out
+FROM props ORDER BY doc_id
+""",
+)
+def sem_mixture_oracle(spark, sf_dir):
+    """ORACLE-CHECKED Mixture-of-Agents (reference
+    ``mixture_of_agents.py:16-248``): 3 sibling proposer columns (one map
+    stage) + aggregator, all md5-stubbed so the proposer fan-out and the
+    '###'-joined aggregator prompt are recomputed by DuckDB."""
+    from palimpzest_spark.operators.strategies import mixture_of_agents_convert
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id", "text")
+    )
+    out = mixture_of_agents_convert(
+        docs,
+        "rate quality",
+        proposer_fns=[_md5_infer(f"moa-p{i}") for i in range(3)],
+        aggregator_fn=_md5_infer("moa-agg"),
+        output_field="sem_out",
+    )
+    return out.select("doc_id", "sem_out").orderBy("doc_id")
+
+
+@_q(
+    "sem_critique_oracle",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         'improve this' || chr(10) || chr(10) || coalesce(text, '') AS prompt
+  FROM documents WHERE doc_id % 11 = 0
+),
+chain AS (
+  SELECT doc_id, prompt,
+         substring(md5('cr-b|' || prompt), 1, 12) AS base
+  FROM d
+),
+crit AS (
+  SELECT doc_id, prompt, base,
+         substring(md5('cr-c|' || prompt || chr(10) || base), 1, 12) AS critique
+  FROM chain
+)
+SELECT doc_id,
+       substring(md5('cr-r|' || prompt || chr(10) || base || chr(10) || critique), 1, 12) AS sem_out
+FROM crit ORDER BY doc_id
+""",
+)
+def sem_critique_oracle(spark, sf_dir):
+    """ORACLE-CHECKED Critique-and-Refine (reference
+    ``critique_and_refine.py:18-214``): base → critic → refine, three
+    chained md5-stub calls in one map stage; DuckDB replays the chain."""
+    from palimpzest_spark.operators.strategies import critique_and_refine_convert
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text")
+    )
+    out = critique_and_refine_convert(
+        docs,
+        "improve this",
+        base_fn=_md5_infer("cr-b"),
+        critic_fn=_md5_infer("cr-c"),
+        refine_fn=_md5_infer("cr-r"),
+        output_field="sem_out",
+    )
+    return out.select("doc_id", "sem_out").orderBy("doc_id")
+
+
+@_q(
+    "sem_aggregate_oracle",
+    oracle=r"""
+WITH g AS (
+  SELECT lang, string_agg(text, chr(10) ORDER BY text) AS joined
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY lang
+)
+SELECT lang,
+       substring(md5('agg|' || 'summarize the corpus' || chr(10) || chr(10) || joined), 1, 12) AS sem_out
+FROM g ORDER BY lang
+""",
+)
+def sem_aggregate_oracle(spark, sf_dir):
+    """ORACLE-CHECKED grouped SemanticAggregate (reference
+    ``aggregate.py:531-667``): per-group ordered collect → one inference
+    per group, md5-stubbed; DuckDB rebuilds the deterministically-ordered
+    group prompt with string_agg(ORDER BY) and replays the model call."""
+    from palimpzest_spark.operators.strategies import sem_aggregate
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("lang", "text")
+    )
+    out = sem_aggregate(
+        docs,
+        "summarize the corpus",
+        group_cols=["lang"],
+        infer_fn=_md5_infer("agg"),
+        output_field="sem_out",
+    )
+    return out.orderBy("lang")
+
+
+@_q(
+    "sem_rag_oracle",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 13 = 0 AND text IS NOT NULL
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+            range(0, greatest(cast(ceil(length(text) / 256.0) AS bigint), 1)),
+            i -> struct_pack(chunk := substring(text, cast(i * 256 + 1 AS int), 256))),
+           recursive := true)
+  FROM d
+),
+sc AS (
+  SELECT doc_id, chunk,
+         len(list_intersect(
+            list_distinct(regexp_split_to_array(lower(chunk), '\s+')),
+            ['extract', 'key', 'facts'])) AS score
+  FROM ch
+),
+ranked AS (
+  SELECT doc_id, chunk, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, chunk DESC) AS rn
+  FROM sc
+),
+ctx AS (
+  SELECT doc_id,
+         string_agg(chunk, chr(10) || '---' || chr(10) ORDER BY score DESC, chunk DESC) AS context
+  FROM ranked WHERE rn <= 2 GROUP BY doc_id
+)
+SELECT doc_id,
+       substring(md5('rag|' || 'extract key facts' || chr(10) || chr(10) || context), 1, 12) AS sem_out
+FROM ctx ORDER BY doc_id
+""",
+)
+def sem_rag_oracle(spark, sf_dir):
+    """ORACLE-CHECKED RAGConvert (reference ``rag.py:18-228``): fixed-size
+    chunking, word-overlap retrieval of the top-2 chunks (array algebra,
+    no shuffle), inference on the reduced context — md5-stubbed so DuckDB
+    recomputes the chunk boundaries, the (score DESC, chunk DESC)
+    retrieval order, and the joined context prompt."""
+    from palimpzest_spark.operators.strategies import rag_convert
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 13 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    out = rag_convert(
+        docs,
+        "extract key facts",
+        chunk_size=256,
+        num_chunks=2,
+        infer_fn=_md5_infer("rag"),
+        output_field="sem_out",
+    )
+    return out.select("doc_id", "sem_out").orderBy("doc_id")
