@@ -381,8 +381,16 @@ def sem_topk(
     from palimpzest_spark.operators.strategies import embed_text_udf
 
     embed = embed_fn or embed_text_udf(dim)
-    q = records.select(record_id, search_attr).withColumn(
-        "_qv", embed(F.col(search_attr))
+    # retrieval side carries only (record_id, query vector): the search text
+    # is dropped after embedding, so it never travels through the join (and
+    # cannot collide with a same-named corpus column, e.g. pre-embedded
+    # records where search_attr == vec_col)
+    q = (
+        records.select(record_id, search_attr)
+        .withColumn("_qv", embed(F.col(search_attr)))
+        # internal alias: record_id may equal the corpus id_col (pre-embedded
+        # self-retrieval), so the retrieval side uses an unambiguous name
+        .select(F.col(record_id).alias("_rid"), "_qv")
     )
     ccols = [id_col, vec_col] + ([payload_col] if payload_col else [])
     c = corpus.select(*ccols)
@@ -405,7 +413,7 @@ def sem_topk(
         lambda s, x: s + x,
     )
     sim = dot / (_norm("_qv") * _norm(vec_col))
-    w = Window.partitionBy(record_id).orderBy(F.desc("_sim"), F.asc(id_col))
+    w = Window.partitionBy("_rid").orderBy(F.desc("_sim"), F.asc(id_col))
     top = (
         joined.withColumn("_sim", sim)
         .withColumn("_rk", F.row_number().over(w))
@@ -417,7 +425,7 @@ def sem_topk(
         F.col("_sim").alias("similarity"),
         *([F.col(payload_col).alias(payload_col)] if payload_col else []),
     )
-    packed = top.groupBy(record_id).agg(
+    packed = top.groupBy("_rid").agg(
         F.sort_array(F.collect_list(entry)).alias(output_attr)
-    )
+    ).withColumnRenamed("_rid", record_id)
     return records.join(packed, record_id, "left")

@@ -1890,3 +1890,64 @@ def sem_rag_oracle(spark, sf_dir):
         output_field="sem_out",
     )
     return out.select("doc_id", "sem_out").orderBy("doc_id")
+
+
+@_q(
+    "sem_topk_attach_oracle",
+    oracle=r"""
+WITH q AS (
+  SELECT vec_id AS record_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+s AS (
+  SELECT q.record_id, c.vec_id AS retrieved_id,
+         list_cosine_similarity(q.qv, c.embedding) AS sim
+  FROM q, embeddings c
+),
+r AS (
+  SELECT record_id, retrieved_id, sim,
+         row_number() OVER (PARTITION BY record_id
+                            ORDER BY sim DESC, retrieved_id ASC) AS rank
+  FROM s
+)
+SELECT record_id, rank, retrieved_id,
+       floor(sim * cast(1000 as double) + cast(0.5 as double))
+         / cast(1000 as double) AS sim
+FROM r WHERE rank <= 5
+ORDER BY record_id, rank
+""",
+)
+def sem_topk_attach_oracle(spark, sf_dir):
+    """ORACLE-CHECKED per-record sem_topk attach (reference ``TopKOp``,
+    ``topk.py:122-155,233-278``): every query record retrieves its top-5
+    corpus rows by exact cosine and gets them ATTACHED as a rank-ordered
+    array column (``functions/similarity.sem_topk``, exact
+    records x broadcast(corpus) tier). The attached array is unpacked with
+    posexplode so the driver hash-checks the pack order, ranks, ids, and
+    3dp-rounded similarities against DuckDB's window-ranked
+    list_cosine_similarity twin. The embed slot takes an identity fn (the
+    records already carry vectors); the md5/crc embed stubs plug into the
+    same slot without changing the plan."""
+    from palimpzest_spark.functions.similarity import sem_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id", "embedding")
+    out = sem_topk(
+        records,
+        corpus=emb,
+        search_attr="embedding",
+        record_id="vec_id",
+        k=5,
+        bits=None,
+        embed_fn=lambda c: c,  # records are pre-embedded; stub embeds plug in here
+    )
+    ex = out.select(
+        F.col("vec_id").alias("record_id"),
+        F.explode("retrieved").alias("e"),
+    )
+    return ex.select(
+        "record_id",
+        F.col("e.rank").alias("rank"),
+        F.col("e.id").alias("retrieved_id"),
+        (F.floor(F.col("e.similarity") * 1000.0 + 0.5) / 1000.0).alias("sim"),
+    ).orderBy("record_id", "rank")
