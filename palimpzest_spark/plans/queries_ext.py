@@ -1951,3 +1951,79 @@ def sem_topk_attach_oracle(spark, sf_dir):
         F.col("e.id").alias("retrieved_id"),
         (F.floor(F.col("e.similarity") * 1000.0 + 0.5) / 1000.0).alias("sim"),
     ).orderBy("record_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# JSONL / CSV sources: oracle-checked lossless round-trips
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       substring(md5(coalesce(text, '')), 1, 12) AS text_sig
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY doc_id
+"""
+
+
+def _roundtrip_schema():
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+
+@_q("source_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_jsonl_roundtrip(spark, sf_dir):
+    """ORACLE-CHECKED JSONL source: a documents subset is written to
+    newline-delimited JSON and scanned back via ``sources.files.jsonl_files``
+    with an explicit schema (no inference pass). The md5 text signature
+    proves the free text — embedded newlines, quotes, unicode — survives
+    the encode/scan round-trip byte-exactly; DuckDB recomputes the
+    signature from the original parquet."""
+    import tempfile
+
+    from palimpzest_spark.sources.files import jsonl_files
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="pz_jsonl_")
+    docs.write.mode("overwrite").json(f"{d}/docs")
+    back = jsonl_files(spark, f"{d}/docs", schema=_roundtrip_schema())
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 12).alias("text_sig"),
+    ).orderBy("doc_id")
+
+
+@_q("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip(spark, sf_dir):
+    """ORACLE-CHECKED CSV source: same round-trip through Spark's CSV writer
+    defaults + ``sources.files.csv_files`` (multiLine quoted fields), md5
+    text signatures hash-checked against the original parquet via DuckDB."""
+    import tempfile
+
+    from palimpzest_spark.sources.files import csv_files
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="pz_csv_")
+    docs.write.mode("overwrite").option("header", True).csv(f"{d}/docs")
+    back = csv_files(spark, f"{d}/docs", schema=_roundtrip_schema())
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 12).alias("text_sig"),
+    ).orderBy("doc_id")

@@ -200,3 +200,47 @@ def audio_files(spark: SparkSession, path: str) -> DataFrame:
 def image_files(spark: SparkSession, path: str) -> DataFrame:
     """Images as opaque binary (``iter_dataset.py:284-323``)."""
     return binary_files(spark, path).withColumn("modality", F.lit("image"))
+
+
+def jsonl_files(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+) -> DataFrame:
+    """Newline-delimited JSON corpus — the lingua franca of LLM training
+    exports. Thin declarative wrapper over Spark's native distributed JSON
+    scan (splittable per line, predicate/column pruning intact); an explicit
+    ``schema`` skips the inference pass — mandatory at 100 TB, where a
+    schema-inference pre-scan would read the corpus twice. Corrupt lines
+    land in ``_corrupt_record`` (PERMISSIVE) instead of failing the scan.
+
+    The reference reads structured rows only via ``MemoryDataset``
+    (``iter_dataset.py:152-213``, dict/pandas driver-side); a distributed
+    JSONL scan is its web-scale counterpart.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").json(path)
+
+
+def csv_files(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    multiline: bool = True,
+) -> DataFrame:
+    """CSV corpus scan. ``multiline=True`` makes quoted embedded newlines
+    (free-text columns) roundtrip losslessly with Spark's own CSV writer
+    defaults; pass ``multiline=False`` for strictly line-delimited files,
+    which keeps the scan splittable per line (multiline CSV gzip-style
+    serializes per file — at scale prefer line-delimited or JSONL)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("multiLine", multiline)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)

@@ -334,3 +334,48 @@ def test_winnow_max_df_stop_grams(spark):
     assert not any(a < 6 and b < 6 for a, b in got), (
         "boilerplate-only pairs must be removed by the df cap"
     )
+
+
+def test_jsonl_csv_sources_roundtrip_and_corrupt(spark, tmp_path):
+    """jsonl_files/csv_files: lossless free-text roundtrip; corrupt JSONL
+    lines surface in _corrupt_record instead of failing the scan."""
+    import pyspark.sql.types as T
+
+    from palimpzest_spark.sources.files import csv_files, jsonl_files
+
+    rows = [
+        (1, 'line one\nline "two"', "en"),
+        (2, "unicode é中文, comma, and\ttab", "fr"),
+        (3, None, "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    jd = str(tmp_path / "j")
+    df.write.json(jd)
+    back = jsonl_files(spark, jd, schema=schema)
+    assert sorted((r.doc_id, r.text, r.lang) for r in back.collect()) == sorted(rows)
+
+    cd = str(tmp_path / "c")
+    df.write.option("header", True).csv(cd)
+    backc = csv_files(spark, cd, schema=schema)
+    assert sorted(
+        (r.doc_id, r.text, r.lang) for r in backc.collect()
+    ) == sorted(rows)
+
+    # corrupt line: PERMISSIVE scan keeps good rows, flags the bad one
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en"}\nnot json at all\n'
+    )
+    cschema = schema.add("_corrupt_record", T.StringType())
+    got = jsonl_files(spark, str(bad), schema=cschema).collect()
+    assert len(got) == 2
+    assert sum(1 for r in got if r._corrupt_record is not None) == 1
