@@ -186,6 +186,7 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    token_hash: str = "crc32",
 ) -> DataFrame:
     """(id, signature: array<long>) — fully vectorized over Arrow batches.
 
@@ -208,12 +209,25 @@ def minhash_signatures(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zlib import crc32
 
+        if token_hash == "crc32":
+            tok_h = lambda t: crc32(t.encode())  # noqa: E731
+        elif token_hash == "md5":
+            # DuckDB-recomputable tier (first 8 md5 hex digits as uint32) —
+            # the oracle-parity hook; crc32 stays the hot-path default
+            import hashlib
+
+            tok_h = lambda t: int(  # noqa: E731
+                hashlib.md5(t.encode()).hexdigest()[:8], 16
+            )
+        else:
+            raise ValueError(f"unknown token_hash: {token_hash}")
+
         mask32 = np.uint64(0xFFFFFFFF)
 
         def doc_grams(text: str) -> np.ndarray:
             toks = text.split()
             th = np.fromiter(
-                (crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+                (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
             )
             if len(th) >= shingle_n:
                 g = cs[0] * th[: len(th) - shingle_n + 1]
@@ -268,6 +282,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    token_hash: str = "crc32",
+    band_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified by signature
     agreement (estimated Jaccard = fraction of matching minhashes ≥ threshold).
@@ -277,20 +293,23 @@ def minhash_lsh_pairs(
     → distinct pairs → verify. Shuffles carry ids + 8B hashes, never text.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_n, seed, token_hash
+    ).persist()
+
+    # band bucket id: xxhash64 (8B shuffle payload, the at-scale default) or
+    # md5 (32B, DuckDB-recomputable — the oracle-parity hook)
+    def bucket_of(bnd):
+        joined = F.concat_ws(
+            ",", F.transform(F.slice("signature", bnd * rows + 1, rows), lambda x: x.cast("string"))
+        )
+        return F.xxhash64(joined) if band_hash == "xxhash64" else F.md5(joined)
 
     banded = sigs.select(
         "id",
         "signature",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.transform(F.slice("signature", bnd * rows + 1, rows), lambda x: x.cast("string"))
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
         ).alias("band", "bucket"),
     ).select("id", "band", "bucket")
 

@@ -2027,3 +2027,94 @@ def source_csv_roundtrip(spark, sf_dir):
         "n_chars",
         F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 12).alias("text_sig"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH dedup, oracle-checked via the md5 token/band hash tier
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, shingle_n: int = 3) -> str:
+    """Generate the DuckDB twin of minhash_lsh_pairs(token_hash='md5',
+    band_hash='md5') from the SAME seeded permutation parameters the engine
+    uses (functions/dedup._perm_params, seed 42) — the oracle recomputes
+    token hashes, gram combines, all 64 universal-hash minima, band buckets,
+    candidate join, and signature-agreement verification."""
+    from palimpzest_spark.functions.dedup import _GRAM_C, _MERSENNE, _perm_params
+
+    a, b = _perm_params(num_perm, seed=42)
+    rows = num_perm // bands
+    c1, c2, c3 = _GRAM_C[:shingle_n]
+    perm_values = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    # first 8 md5 hex digits of a token -> uint32, as a bigint fold
+    th = (
+        "list_reduce([cast(0 AS bigint)] || list_transform(range(1, 9), "
+        "j -> cast(strpos('0123456789abcdef', substring(md5({t}), cast(j AS int), 1)) - 1 "
+        "AS bigint)), (x, y) -> x * 16 + y)"
+    )
+    return f"""
+WITH perms(i, a, b) AS (VALUES {perm_values}),
+d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE doc_id % 3 = 0 AND len(regexp_split_to_array(trim(text), '\\s+')) >= {shingle_n}
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {shingle_n} + 2),
+            i -> ({c1} * {th.format(t="toks[cast(i AS int)]")}
+                + {c2} * {th.format(t="toks[cast(i AS int) + 1]")}
+                + {c3} * {th.format(t="toks[cast(i AS int) + 2]")}) % 4294967296)) AS gram
+  FROM d
+),
+mh AS (
+  SELECT doc_id, p.i, min((p.a * g.gram + p.b) % {_MERSENNE}) AS mh
+  FROM g CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS signature FROM mh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, t.band,
+         md5(array_to_string(list_transform(
+            list_slice(signature, cast(t.band * {rows} + 1 AS int), cast(t.band * {rows} + {rows} AS int)),
+            v -> cast(v AS varchar)), ',')) AS bucket
+  FROM sig, range(0, {bands}) t(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         cast(len(list_filter(range(1, {num_perm} + 1),
+            i -> sa.signature[cast(i AS int)] = sb.signature[cast(i AS int)]))
+              AS double) / {num_perm}.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@_q("dedup_minhash_oracle", oracle=_minhash_oracle_sql())
+def dedup_minhash_oracle(spark, sf_dir):
+    """ORACLE-CHECKED MinHash-LSH near-dup pairs: the engine's banded LSH
+    (functions/dedup.minhash_lsh_pairs — vectorized reduceat signatures,
+    band-bucket equi-join, signature-agreement verify) run on its
+    DuckDB-recomputable hash tier (token_hash='md5', band_hash='md5'; the
+    universal-hash (a,b) permutation params are the engine's own seeded
+    values, inlined into the oracle SQL at import). Every stage of the
+    flagship dedup path — gram hashing, 64 permutation minima, banding,
+    candidate generation, verification — is value-hash-checked."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    )
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, token_hash="md5", band_hash="md5"
+    ).orderBy("id_a", "id_b")
