@@ -30,15 +30,24 @@ ROW_ID = "_id"
 LINEAGE_COLS = (SOURCE_IDX, PARENT_ID, CARDINALITY_IDX, ROW_ID)
 
 
-def with_source_lineage(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+def with_source_lineage(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    id_expr=None,
+) -> DataFrame:
     """Attach root-scan lineage.
 
     With ``key_cols`` the source index/id is derived deterministically from the
     natural key (stable under re-partitioning — what a 1000-executor run
-    needs); without, it falls back to a zipWithIndex-free monotonic id, which
-    is stable only within one scan.
+    needs); ``id_expr`` supplies the source index as an arbitrary Column
+    (e.g. a natural long key directly — also the cross-engine-recomputable
+    tier, since the whole _id chain is then plain sha256 over visible
+    values); without either, it falls back to a zipWithIndex-free monotonic
+    id, which is stable only within one scan.
     """
-    if key_cols:
+    if id_expr is not None:
+        src = id_expr.cast("long")
+    elif key_cols:
         src = F.xxhash64(*[F.col(c) for c in key_cols])
     else:
         src = F.monotonically_increasing_id()

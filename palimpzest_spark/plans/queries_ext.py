@@ -2118,3 +2118,71 @@ def dedup_minhash_oracle(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         docs, threshold=0.5, token_hash="md5", band_hash="md5"
     ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "lineage_flat_map_oracle",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE n_chars < 150 AND text IS NOT NULL AND length(trim(text)) > 0
+),
+m AS (
+  SELECT doc_id, text,
+         sha256('map|' || sha256('scan|' || cast(doc_id AS varchar)) || '|0') AS id1
+  FROM d
+),
+w AS (
+  SELECT doc_id, id1,
+         unnest(list_transform(
+            range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1),
+            i -> struct_pack(
+              idx := i - 1,
+              word := regexp_split_to_array(trim(text), '\s+')[cast(i AS int)])),
+           recursive := true)
+  FROM m
+)
+SELECT doc_id, idx AS _cardinality_idx, word,
+       sha256('flat_map|' || id1 || '|' || cast(idx AS varchar)) AS _id,
+       id1 AS _parent_id
+FROM w
+ORDER BY doc_id, _cardinality_idx
+""",
+)
+def lineage_flat_map_oracle(spark, sf_dir):
+    """ORACLE-CHECKED lineage chain (reference ``records.py:28-83`` _id
+    contract): scan → map → flat_map with the natural-key id tier
+    (``with_source_lineage(id_expr=doc_id)``), so the whole derivation —
+    root _id = sha256('scan|idx'), map child = sha256('map|parent|0'),
+    fan-out child = sha256('flat_map|parent|cardinality_idx') — is plain
+    sha256 over visible values and DuckDB replays it hash-for-hash,
+    including the 0-based posexplode cardinality ordinals."""
+    from palimpzest_spark import lineage as L
+    from palimpzest_spark.operators.convert import flat_map_records, map_expr
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") < 150)
+            & F.col("text").isNotNull()
+            & (F.length(F.trim("text")) > 0)
+        )
+        .select("doc_id", "text")
+    )
+    src = L.with_source_lineage(docs, id_expr=F.col("doc_id"))
+    mapped = map_expr(
+        src, {"n_words": F.size(F.split(F.trim("text"), r"\s+"))}, track_lineage=True
+    )
+
+    def fn(batch: pd.DataFrame) -> pd.Series:
+        return batch["text"].map(
+            lambda t: [{"word": w} for w in str(t).strip().split()]
+        )
+
+    out_schema = T.StructType([T.StructField("word", T.StringType())])
+    out = flat_map_records(
+        mapped, fn, out_schema, depends_on=["text"], track_lineage=True
+    )
+    return out.select(
+        "doc_id", "_cardinality_idx", "word", "_id", "_parent_id"
+    ).orderBy("doc_id", "_cardinality_idx")
