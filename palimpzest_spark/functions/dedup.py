@@ -346,24 +346,39 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "crc32",
 ) -> DataFrame:
-    """64-bit SimHash over word tokens (vectorized numpy)."""
+    """64-bit SimHash over word tokens (vectorized numpy).
+
+    ``token_hash='md5'`` is the DuckDB-recomputable tier: a 60-bit token
+    hash from the first 15 md5 hex digits (bits 60-63 stay zero on both
+    engines, so the signature fits a signed bigint everywhere); crc32
+    stays the 64-bit hot-path default."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zlib import crc32  # deterministic (builtin hash() is salted)
+
+        if token_hash == "crc32":
+            def tok_h(t: str) -> int:
+                return crc32(t.encode()) | (crc32((t + "#").encode()) << 32)
+        elif token_hash == "md5":
+            import hashlib
+
+            def tok_h(t: str) -> int:
+                return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        else:
+            raise ValueError(f"unknown token_hash: {token_hash}")
 
         bits = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             out = []
             for text in pdf[text_col].fillna(""):
                 toks = text.split() or [""]
-                # 64-bit deterministic token hash from two crc32 views
                 h = np.fromiter(
-                    (
-                        (crc32(t.encode()) | (crc32((t + "#").encode()) << 32))
-                        for t in toks
-                    ),
+                    (tok_h(t) for t in toks),
                     dtype=np.uint64,
                     count=len(toks),
                 )
@@ -382,6 +397,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_hash: str = "crc32",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via chunk banding.
 
@@ -389,7 +405,7 @@ def simhash_pairs(
     ≤ k differing bits shares at least one identical chunk, so banding has
     perfect recall for the requested ``max_hamming`` (capped at 16 chunks —
     beyond that candidate volume outweighs the recall gain at scale)."""
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = simhash_signatures(df, text_col, id_col, token_hash).persist()
     n_chunks = min(max_hamming + 1, 16)
     width = 64 // n_chunks
     # chunk i covers bits [i*width, (i+1)*width), last chunk takes the remainder

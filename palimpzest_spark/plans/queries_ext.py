@@ -2186,3 +2186,64 @@ def lineage_flat_map_oracle(spark, sf_dir):
     return out.select(
         "doc_id", "_cardinality_idx", "word", "_id", "_parent_id"
     ).orderBy("doc_id", "_cardinality_idx")
+
+
+@_q(
+    "dedup_simhash_oracle",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+th AS (
+  SELECT doc_id,
+         list_reduce([cast(0 AS bigint)] || list_transform(range(1, 16),
+            j -> cast(strpos('0123456789abcdef', substring(md5(t), cast(j AS int), 1)) - 1
+                 AS bigint)), (x, y) -> x * 16 + y) AS h
+  FROM tok
+),
+bitcnt AS (
+  -- bits 60-63 are identically zero in the md5-60bit tier
+  SELECT doc_id, b.b AS bit,
+         sum((h >> cast(b.b AS int)) & 1) AS ones, count(*) AS total
+  FROM th CROSS JOIN range(0, 60) b(b)
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN 2 * ones - total > 0
+                       THEN (cast(1 AS bigint) << cast(bit AS int)) ELSE 0 END)
+              AS bigint) AS simhash
+  FROM bitcnt GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, c.i AS chunk_idx,
+         (simhash >> cast(c.i * 16 AS int)) & 65535 AS chunk
+  FROM sig CROSS JOIN range(0, 4) c(i)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.simhash AS sh_a, y.simhash AS sh_b
+  FROM banded x JOIN banded y
+    ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, cast(bit_count(xor(sh_a, sh_b)) AS int) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def dedup_simhash_oracle(spark, sf_dir):
+    """ORACLE-CHECKED SimHash near-dup pairs: the engine's pigeonhole
+    chunk-banding path (functions/dedup.simhash_pairs — 4 x 16-bit chunks
+    guarantee perfect recall at hamming <= 3) on its DuckDB-recomputable
+    md5 tier (60-bit token hashes). DuckDB rebuilds the per-bit majority
+    vote, the banded candidate join, and the exact hamming verify, so the
+    signature math and the banding recall argument are value-hash-checked
+    cross-engine."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    return dedup.simhash_pairs(docs, max_hamming=3, token_hash="md5").orderBy(
+        "id_a", "id_b"
+    )
