@@ -2247,3 +2247,103 @@ def dedup_simhash_oracle(spark, sf_dir):
     return dedup.simhash_pairs(docs, max_hamming=3, token_hash="md5").orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup LSH, oracle-checked with inlined hyperplane literals
+# ---------------------------------------------------------------------------
+
+
+def _embedding_neardup_oracle_sql(
+    dim: int = 64, bits: int = 6, n_tables: int = 4, threshold: float = 0.9
+) -> str:
+    """DuckDB twin of embedding_neardup_pairs over the planted-jitter input:
+    the engine's own seeded hyperplanes (functions/similarity.hyperplanes,
+    seeds 42..42+n_tables-1) are inlined as list literals, and every dot
+    product uses the same left-fold order as Spark's F.aggregate, so the
+    sign-pattern buckets and the cosine verify are bit-identical — the
+    OR-construction candidate space itself is cross-checked, not just the
+    verified output."""
+    from palimpzest_spark.functions.similarity import hyperplanes
+
+    def fold_dot(vec: str, plane) -> str:
+        lits = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {vec}[cast(i AS int)] * ({lits})[cast(i AS int)]), (a, b) -> a + b)"
+        )
+
+    def bucket_expr(vec: str, t: int) -> str:
+        planes = hyperplanes(dim, bits, seed=42 + t)
+        terms = [
+            f"CASE WHEN {fold_dot(vec, planes[i])} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(bits)
+        ]
+        return " + ".join(terms)
+
+    bucket_cases = " ".join(
+        f"WHEN {t} THEN {bucket_expr('v', t)}" for t in range(n_tables)
+    )
+    sq = (
+        f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {{v}}[cast(i AS int)] * {{v}}[cast(i AS int)]), (a, b) -> a + b))"
+    )
+    pair_dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> va[cast(i AS int)] * vb[cast(i AS int)]), (a, b) -> a + b)"
+    )
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000 AS id,
+         list_transform(range(1, {dim + 1}),
+            i -> embedding[cast(i AS int)]
+                 + 0.02 * cos(cast(vec_id + (i - 1) AS double))) AS v
+  FROM embeddings WHERE vec_id < 50
+),
+all_v AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+buck AS (
+  SELECT id, t.tbl, CASE t.tbl {bucket_cases} END AS bkt
+  FROM all_v, range(0, {n_tables}) t(tbl)
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM buck x JOIN buck y
+    ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN all_v a ON a.id = c.id_a
+  JOIN all_v b ON b.id = c.id_b,
+  LATERAL (SELECT a.v AS va, b.v AS vb) s
+  WHERE {pair_dot} / ({sq.format(v='va')} * {sq.format(v='vb')}) >= {threshold}
+)
+SELECT id_a, id_b FROM verified ORDER BY id_a, id_b
+"""
+
+
+@_q("embedding_neardup_oracle", oracle=_embedding_neardup_oracle_sql())
+def embedding_neardup_oracle(spark, sf_dir):
+    """ORACLE-CHECKED embedding near-dup pairs: identical planted-jitter
+    input as embedding_neardup, but the DuckDB oracle recomputes the
+    multi-table sign-pattern LSH blocking with the engine's own seeded
+    hyperplanes inlined as literals (same fold order -> bit-identical
+    buckets and cosines). Candidate generation AND exact verification are
+    value-hash-checked; the rows-only twin remains for the default path."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x + F.lit(0.02) * F.cos((F.col("vec_id") + i).cast("double")),
+    )
+    planted = (
+        emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), jitter.alias("embedding"))
+    )
+    return (
+        similarity.embedding_neardup_pairs(
+            emb.unionByName(planted), threshold=0.9, bits=6
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
