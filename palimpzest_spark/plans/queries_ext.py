@@ -2347,3 +2347,73 @@ def embedding_neardup_oracle(spark, sf_dir):
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+def _lsh_topk_oracle_sql(dim: int = 64, bits: int = 8, k: int = 10) -> str:
+    """DuckDB twin of lsh_top_k (multiprobe_hamming=2): the engine's seeded
+    hyperplanes are inlined, dot products mirror Spark's type-promotion
+    rules exactly (float32 corpus x float64 plane -> double products;
+    float32 x float32 norm products stay float32 before the double
+    accumulate), so buckets, the 37-bucket probe set, and the exact cosine
+    ranking are bit-identical cross-engine."""
+    from palimpzest_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits, seed=42)
+
+    def dfold(products: str) -> str:
+        # double-init fold: products list is widened to double, accumulation
+        # happens in double (Spark's aggregate(acc: double, x) semantics)
+        return (
+            f"list_reduce([cast(0.0 AS double)] || list_transform("
+            f"range(1, {dim + 1}), i -> {products}), (a, b) -> a + b)"
+        )
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for i in range(bits):
+            lits = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+            dot = dfold(f"{vec}[cast(i AS int)] * ({lits})[cast(i AS int)]")
+            terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
+        return " + ".join(terms)
+
+    flips = "[0, " + ", ".join(str(1 << i) for i in range(bits)) + "]"
+    dot_vq = dfold("v[cast(i AS int)] * cast(qv[cast(i AS int)] AS double)")
+    norm_v = f"sqrt({dfold('v[cast(i AS int)] * v[cast(i AS int)]')})"
+    norm_q = (
+        f"sqrt({dfold('cast(qv[cast(i AS int)] AS double) * cast(qv[cast(i AS int)] AS double)')})"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket_expr('qv')} AS b FROM q),
+probes AS (
+  SELECT DISTINCT xor(xor(qb.b, f1.m), f2.m) AS pb
+  FROM qb,
+       (SELECT unnest({flips}) AS m) f1,
+       (SELECT unnest({flips}) AS m) f2
+),
+bucketed AS (
+  SELECT vec_id, label, embedding AS v, {bucket_expr('embedding')} AS b
+  FROM embeddings
+),
+cand AS (SELECT * FROM bucketed WHERE b IN (SELECT pb FROM probes)),
+scored AS (
+  SELECT vec_id, label, {dot_vq} / ({norm_v} * {norm_q}) AS sim
+  FROM cand, q
+)
+SELECT vec_id, label FROM scored
+ORDER BY sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
+@_q("ann_lsh_topk_oracle", oracle=_lsh_topk_oracle_sql())
+def ann_lsh_topk_oracle(spark, sf_dir):
+    """ORACLE-CHECKED approximate LSH top-k (functions/similarity.lsh_top_k):
+    same probe-and-verify plan as the rows-only twin, but DuckDB recomputes
+    the sign-pattern bucketing, the hamming<=2 multiprobe set, and the exact
+    cosine ranking inside the probed buckets from the engine's own inlined
+    hyperplanes — the approximation itself is value-hash-checked, not just
+    the row count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.lsh_top_k(emb, list(query), k=10, bits=8, multiprobe_hamming=2)
+    return out.select("vec_id", "label")
