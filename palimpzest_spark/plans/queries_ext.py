@@ -2417,3 +2417,78 @@ def ann_lsh_topk_oracle(spark, sf_dir):
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = similarity.lsh_top_k(emb, list(query), k=10, bits=8, multiprobe_hamming=2)
     return out.select("vec_id", "label")
+
+
+@_q(
+    "pack_sequences_oracle",
+    oracle=r"""
+WITH RECURSIVE src AS (
+  SELECT doc_id,
+         cast(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tokens
+  FROM documents
+  WHERE doc_id % 8 = 0 AND length(trim(coalesce(text, ''))) > 0
+),
+docs AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM src
+),
+steps AS (
+  SELECT cast(0 AS bigint) AS rn, cast([] AS bigint[]) AS bins,
+         cast(NULL AS bigint) AS doc_id, cast(NULL AS bigint) AS n_tokens,
+         cast(NULL AS bigint) AS local_bin
+  UNION ALL
+  SELECT d.rn,
+         CASE WHEN f.idx IS NULL
+              THEN s.bins || [greatest(120 - d.n_tokens, 0)]
+              ELSE list_transform(range(1, cast(len(s.bins) AS bigint) + 1),
+                     j -> CASE WHEN j = f.idx
+                               THEN s.bins[cast(j AS int)] - d.n_tokens
+                               ELSE s.bins[cast(j AS int)] END)
+         END,
+         d.doc_id, d.n_tokens,
+         CASE WHEN f.idx IS NULL THEN cast(len(s.bins) AS bigint)
+              ELSE f.idx - 1 END
+  FROM steps s
+  JOIN docs d ON d.rn = s.rn + 1,
+  LATERAL (
+    SELECT list_filter(range(1, cast(len(s.bins) AS bigint) + 1),
+                       j -> s.bins[cast(j AS int)] >= d.n_tokens)[1] AS idx
+  ) f
+),
+packed AS (SELECT doc_id, n_tokens, local_bin AS bin_id FROM steps WHERE rn > 0),
+stats AS (
+  SELECT bin_id, cast(sum(n_tokens) AS bigint) AS bin_tokens,
+         count(*) AS bin_docs
+  FROM packed GROUP BY bin_id
+)
+SELECT p.doc_id, p.n_tokens, p.bin_id, s.bin_tokens, s.bin_docs
+FROM packed p JOIN stats s USING (bin_id)
+ORDER BY p.doc_id
+""",
+)
+def pack_sequences_oracle(spark, sf_dir):
+    """ORACLE-CHECKED first-fit-decreasing sequence packing
+    (functions/packing.pack_sequences, n_groups=1 so the whole input is one
+    packing group and group-hash assignment is the identity): DuckDB
+    replays the sequential FFD pass with a recursive CTE carrying the open
+    bins' remaining capacities as list state — bin membership, per-bin
+    token sums, doc counts, and the (tokens DESC, id ASC) processing order
+    are all value-hash-checked, a strictly stronger gate than the pytest
+    invariants (each-doc-once, no-bin-over-budget) on the rows-only twin."""
+    from palimpzest_spark.functions.packing import pack_sequences
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 8 == 0)
+            & (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+        )
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=120, n_groups=1).orderBy(
+        "doc_id"
+    )
