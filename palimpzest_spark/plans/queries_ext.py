@@ -2492,3 +2492,69 @@ def pack_sequences_oracle(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_tokens", budget=120, n_groups=1).orderBy(
         "doc_id"
     )
+
+
+@_q(
+    "cdc_transcript_render",
+    oracle="""
+WITH feed AS ({feed}),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text, op,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+         ) AS rn
+  FROM feed
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'D'
+  UNION ALL
+  SELECT cast(user_id AS varchar) AS conv_id, cast(-1 AS bigint) AS turn_idx,
+         'seed' AS role, 'seed#' || cast(user_id AS varchar) AS text
+  FROM events GROUP BY user_id
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS transcript
+FROM state GROUP BY conv_id
+ORDER BY conv_id
+""".format(feed=_LWW_FEED_SQL.format(tool_expr="")),
+)
+def cdc_transcript_render(spark, sf_dir):
+    """ORACLE-CHECKED rendered transcripts — the north rule's verification
+    invariant ('per-turn text equality under stable (conv_id, turn_idx)
+    ordering') as ONE hash-checked artifact per conversation: after the
+    same real replay as cdc_lww_replay_events (bootstrap -> 4 merge_batch
+    calls -> merge-on-read fold), each conversation's turns are rendered
+    'role: text' in turn order and newline-joined. Any dropped turn,
+    resurrection, mis-ordered merge, or text corruption anywhere in the
+    engine path changes a transcript string and fails the driver hash."""
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = _events_change_feed(spark, sf_dir, with_tool=False)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    replay_batches(spark, table, d, files_per_batch=1)
+    return (
+        table.read(spark)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("turn_idx").alias("o"),
+                                F.concat_ws(": ", "role", "text").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("transcript"),
+        )
+        .orderBy("conv_id")
+    )
