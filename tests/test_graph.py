@@ -101,3 +101,37 @@ def test_drop_near_duplicates_keeps_one_per_cluster(spark):
     )
     # min-id survivor per cluster + untouched singleton 99
     assert kept == [1, 10, 99]
+
+
+def test_star_components_match_union_find(spark):
+    df = spark.createDataFrame(EDGES, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert got == _uf_components(EDGES)
+
+
+def test_star_handles_long_chain_in_log_rounds(spark):
+    """A 2048-node path has diameter 2047 — min-label propagation would need
+    ~2047 rounds, far past max_iter; the star algorithm must converge within
+    the same default round budget (O(log n))."""
+    chain = [(i, i + 1) for i in range(2047)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    out = connected_components(df, algorithm="star", max_iter=25)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 2048
+
+
+def test_star_random_graph_matches_minlabel(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(300), rnd.randrange(300)) for _ in range(400)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {(r["node"], r["component"])
+         for r in connected_components(df, algorithm="star").collect()}
+    b = {(r["node"], r["component"])
+         for r in connected_components(df, algorithm="minlabel").collect()}
+    assert a == b
