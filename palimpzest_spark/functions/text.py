@@ -192,3 +192,43 @@ def fingerprint(col: str = "text") -> Column:
     JVM-side). Engine-internal id — cross-engine oracles compare *groupings*
     (same text ⇒ same fingerprint), not raw hash values."""
     return F.xxhash64(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+
+
+def repetition_stats(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    per document, the fraction of non-blank lines that are duplicates of
+    another line, and the fraction of characters living in such lines —
+    the standard boilerplate/navigation-chrome detector in web-corpus
+    filtering.
+
+    Plan shape: explode lines → one (doc, line) hash-agg → one per-doc
+    hash-agg. Both aggregates are partial/final (map-side combinable);
+    only (doc_id, line-hash, counts) shuffle, never full documents.
+    Returns (id_col, n_lines, dup_line_frac, dup_line_char_frac), 4dp
+    HALF_UP-rounded on both engines.
+    """
+    from pyspark.sql import functions as F
+
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_ln"))
+        .filter(F.length(F.trim("_ln")) > 0)
+    )
+    per_line = lines.groupBy(id_col, "_ln").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup = F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(F.lit(0))
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("_cnt").alias("n_lines"),
+        F.sum(dup).alias("_dup_lines"),
+        F.sum(F.length("_ln") * F.col("_cnt")).alias("_chars"),
+        F.sum(F.length("_ln") * dup).alias("_dup_chars"),
+    )
+    def r4(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    return agg.select(
+        id_col,
+        "n_lines",
+        r4(F.col("_dup_lines").cast("double") / F.col("n_lines")).alias("dup_line_frac"),
+        r4(F.col("_dup_chars").cast("double") / F.col("_chars")).alias("dup_line_char_frac"),
+    )

@@ -2558,3 +2558,62 @@ def cdc_transcript_render(spark, sf_dir):
         )
         .orderBy("conv_id")
     )
+
+
+@_q(
+    "text_repetition_stats",
+    oracle=r"""
+WITH docs AS (
+  -- the corpus is single-line; plant repeated boilerplate lines with
+  -- per-doc multiplicity so the repetition signals are non-trivial
+  SELECT doc_id,
+         text || chr(10)
+              || repeat(substring(text, 1, 40) || chr(10),
+                        cast(2 + doc_id % 3 AS int)) AS text
+  FROM documents WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+  FROM docs
+),
+kept AS (SELECT doc_id, ln FROM lines WHERE length(trim(ln)) > 0),
+per_line AS (
+  SELECT doc_id, ln, count(*) AS cnt FROM kept GROUP BY doc_id, ln
+),
+agg AS (
+  SELECT doc_id,
+         cast(sum(cnt) AS bigint) AS n_lines,
+         cast(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS bigint) AS dup_lines,
+         cast(sum(length(ln) * cnt) AS bigint) AS chars,
+         cast(sum(CASE WHEN cnt > 1 THEN length(ln) * cnt ELSE 0 END) AS bigint) AS dup_chars
+  FROM per_line GROUP BY doc_id
+)
+SELECT doc_id, n_lines,
+       floor(cast(dup_lines AS double) / n_lines * cast(10000 AS double)
+             + cast(0.5 AS double)) / cast(10000 AS double) AS dup_line_frac,
+       floor(cast(dup_chars AS double) / chars * cast(10000 AS double)
+             + cast(0.5 AS double)) / cast(10000 AS double) AS dup_line_char_frac
+FROM agg ORDER BY doc_id
+""",
+)
+def text_repetition_stats(spark, sf_dir):
+    """ORACLE-CHECKED Gopher-style repetition signals (duplicate-line
+    fraction + duplicate-line character fraction, Rae et al. 2021 A1.1)
+    via functions/text.repetition_stats — two map-side-combinable
+    hash-aggs; DuckDB recomputes the same per-line multiplicity fold."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\n"),
+                F.repeat(
+                    F.concat(F.substring("text", 1, 40), F.lit("\n")),
+                    (F.lit(2) + F.pmod("doc_id", F.lit(3))).cast("int"),
+                ),
+            ).alias("text"),
+        )
+    )
+    return X.repetition_stats(docs).orderBy("doc_id")
