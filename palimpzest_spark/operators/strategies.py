@@ -452,6 +452,8 @@ def embedding_join(
     block_on: list[str] | None = None,
     infer_fn: InferFn | None = None,
     max_unblocked_pairs: int = 10_000_000,
+    embed_fn=None,
+    decision_fn=None,
 ) -> DataFrame:
     """The reference's EmbeddingJoin (``join.py:492-822``): embed both sides,
     LEARN the similarity band by judging ``num_samples`` pairs
@@ -475,7 +477,11 @@ def embedding_join(
     Output: left ∘ right (right cols suffixed) + ``similarity`` + ``matched``.
     """
     infer = _infer_udf(infer_fn or default_infer_fn("ejoin"))
-    embed = embed_text_udf(dim)
+    # both model slots are pluggable: embed_fn swaps the embedding client,
+    # decision_fn maps the judge's raw output to a boolean (default: the
+    # deterministic stub's "ejoin:0" prefix convention)
+    embed = embed_fn or embed_text_udf(dim)
+    decide = decision_fn or (lambda out: F.startswith(out, F.lit("ejoin:0")))
 
     if not block_on:
         n_l, n_r = left.count(), right.count()
@@ -508,7 +514,7 @@ def embedding_join(
         F.lit("\n---\n"),
         F.coalesce(F.col(rtext), F.lit("")),
     )
-    judged = F.startswith(infer(prompt), F.lit("ejoin:0"))  # stub decision
+    judged = decide(infer(prompt))
 
     if lo is None or hi is None:
         # Sampling phase: judge ≤ num_samples pairs spread across the
@@ -534,7 +540,7 @@ def embedding_join(
     matched = (
         F.when(F.col("similarity") < lo, F.lit(False))
         .when(F.col("similarity") > hi, F.lit(True))
-        .otherwise(F.startswith(infer(F.when(in_band, prompt)), F.lit("ejoin:0")))
+        .otherwise(decide(infer(F.when(in_band, prompt))))
     )
     return (
         pairs.withColumn("matched", matched)

@@ -2617,3 +2617,134 @@ def text_repetition_stats(spark, sf_dir):
         )
     )
     return X.repetition_stats(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding join (fixed band), oracle-checked via md5 embeddings + md5 judge
+# ---------------------------------------------------------------------------
+
+_EJ_DIM = 8
+_EJ_LO, _EJ_HI = -0.25, 0.25
+
+
+def _ej_oracle_sql() -> str:
+    """DuckDB twin of the fixed-band embedding_join: md5-derived embeddings
+    (component j = md5int(j|text)/2^32 - 0.5, normalized with the same
+    left-fold norm), dot-product band short-circuit, md5-parity judge only
+    inside the band."""
+    fold = (
+        "list_reduce([cast(0 AS bigint)] || list_transform(range(1, 9), "
+        "x -> cast(strpos('0123456789abcdef', substring(md5({t}), cast(x AS int), 1)) - 1 "
+        "AS bigint)), (p, q) -> p * 16 + q)"
+    )
+    tok = "cast(j AS varchar) || '|' || {t}"
+    raw = (
+        "list_transform(range(0, 8), "
+        "j -> " + fold.format(t=tok) + " / 4294967296.0 - 0.5)"
+    )
+    return f"""
+WITH l AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % 21 = 0 AND text IS NOT NULL
+),
+r AS (
+  SELECT doc_id AS doc_id_right, lang, text AS text_right FROM documents
+  WHERE doc_id % 33 = 0 AND text IS NOT NULL
+),
+le AS (
+  SELECT doc_id, lang, text, raw,
+         list_transform(raw, x -> x / nrm) AS e
+  FROM (
+    SELECT *, sqrt(list_reduce([cast(0.0 AS double)] ||
+              list_transform(range(1, 9), i -> raw[cast(i AS int)] * raw[cast(i AS int)]),
+              (a, b) -> a + b)) AS nrm
+    FROM (SELECT doc_id, lang, text, {raw.format(t='text')} AS raw FROM l)
+  )
+),
+re AS (
+  SELECT doc_id_right, lang, text_right, raw,
+         list_transform(raw, x -> x / nrm) AS e
+  FROM (
+    SELECT *, sqrt(list_reduce([cast(0.0 AS double)] ||
+              list_transform(range(1, 9), i -> raw[cast(i AS int)] * raw[cast(i AS int)]),
+              (a, b) -> a + b)) AS nrm
+    FROM (SELECT doc_id_right, lang, text_right, {raw.format(t='text_right')} AS raw FROM r)
+  )
+),
+pairs AS (
+  SELECT le.doc_id, le.lang, le.text, re.doc_id_right, re.text_right,
+         list_reduce([cast(0.0 AS double)] ||
+           list_transform(range(1, 9), i -> le.e[cast(i AS int)] * re.e[cast(i AS int)]),
+           (a, b) -> a + b) AS similarity
+  FROM le JOIN re USING (lang)
+)
+SELECT doc_id, doc_id_right,
+       floor(similarity * cast(10000 AS double) + cast(0.5 AS double))
+         / cast(10000 AS double) AS sim,
+       CASE WHEN similarity < {_EJ_LO} THEN 0
+            WHEN similarity > {_EJ_HI} THEN 1
+            WHEN strpos('02468ace', substring(md5('same topic|'
+                 || 'same topic' || chr(10) || chr(10) || coalesce(text, '')
+                 || chr(10) || '---' || chr(10) || coalesce(text_right, '')), 1, 1)) > 0
+            THEN 1 ELSE 0 END AS matched
+FROM pairs
+ORDER BY doc_id, doc_id_right
+"""
+
+
+@_q("sem_embedding_join_oracle", oracle=_ej_oracle_sql())
+def sem_embedding_join_oracle(spark, sf_dir):
+    """ORACLE-CHECKED fixed-band EmbeddingJoin (reference
+    ``join.py:492-822``; explicit lo/hi skip the learned fit, which keeps
+    its own pytest gates): md5-derived normalized embeddings plug into the
+    embed slot, the md5-parity judge into the decision slot, so DuckDB
+    recomputes the blocked pair space, every dot product (same left-fold
+    order), the band short-circuit on both sides, and the judge's verdict
+    on exactly the in-band pairs."""
+    import hashlib
+
+    from palimpzest_spark.operators.strategies import embedding_join
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def md5_embed(texts: pd.Series) -> pd.Series:
+        def emb(t: str) -> list[float]:
+            raw = [
+                int(hashlib.md5(f"{j}|{t}".encode()).hexdigest()[:8], 16)
+                / 4294967296.0
+                - 0.5
+                for j in range(_EJ_DIM)
+            ]
+            n = sum(x * x for x in raw) ** 0.5
+            return [x / n for x in raw]
+
+        return texts.fillna("").map(emb)
+
+    def md5_judge(prompts: pd.Series) -> pd.Series:
+        return prompts.fillna("").map(
+            lambda p: hashlib.md5(f"same topic|{p}".encode()).hexdigest()[:12]
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter((F.col("doc_id") % 21 == 0) & F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    right = docs.filter((F.col("doc_id") % 33 == 0) & F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    out = embedding_join(
+        left,
+        right,
+        "same topic",
+        lo=_EJ_LO,
+        hi=_EJ_HI,
+        block_on=["lang"],
+        infer_fn=md5_judge,
+        embed_fn=md5_embed,
+        decision_fn=lambda o: F.substring(o, 1, 1).isin(*list("02468ace")),
+    )
+    return out.select(
+        "doc_id",
+        "doc_id_right",
+        (F.floor(F.col("similarity") * 10000.0 + 0.5) / 10000.0).alias("sim"),
+        F.col("matched").cast("int").alias("matched"),
+    ).orderBy("doc_id", "doc_id_right")
