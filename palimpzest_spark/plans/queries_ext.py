@@ -2748,3 +2748,115 @@ def sem_embedding_join_oracle(spark, sf_dir):
         (F.floor(F.col("similarity") * 10000.0 + 0.5) / 10000.0).alias("sim"),
         F.col("matched").cast("int").alias("matched"),
     ).orderBy("doc_id", "doc_id_right")
+
+
+@_q(
+    "curation_pipeline",
+    oracle=r"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND length(trim(coalesce(text, ''))) > 0
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')
+         )) AS grams
+  FROM src
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM prs UNION SELECT id_b, id_a FROM prs
+),
+walk AS (
+  SELECT s AS node, s AS reach FROM edges
+  UNION
+  SELECT w.node, e.d AS reach FROM walk w JOIN edges e ON e.s = w.reach
+),
+doomed AS (
+  SELECT node AS doc_id FROM walk GROUP BY node HAVING node <> min(reach)
+),
+kept AS (
+  SELECT s.doc_id,
+         cast(len(regexp_split_to_array(trim(s.text), '\s+')) AS bigint) AS n_tokens
+  FROM src s ANTI JOIN doomed d ON s.doc_id = d.doc_id
+),
+-- MATERIALIZED: the FFD recursion below joins docs once per document; an
+-- inlined CTE would re-evaluate the pair join + transitive closure every
+-- iteration (observed: >600s -> 7s)
+docs AS MATERIALIZED (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM kept
+),
+steps AS (
+  SELECT cast(0 AS bigint) AS rn, cast([] AS bigint[]) AS bins,
+         cast(NULL AS bigint) AS doc_id, cast(NULL AS bigint) AS n_tokens,
+         cast(NULL AS bigint) AS local_bin
+  UNION ALL
+  SELECT d.rn,
+         CASE WHEN f.idx IS NULL
+              THEN s.bins || [greatest(120 - d.n_tokens, 0)]
+              ELSE list_transform(range(1, cast(len(s.bins) AS bigint) + 1),
+                     j -> CASE WHEN j = f.idx
+                               THEN s.bins[cast(j AS int)] - d.n_tokens
+                               ELSE s.bins[cast(j AS int)] END)
+         END,
+         d.doc_id, d.n_tokens,
+         CASE WHEN f.idx IS NULL THEN cast(len(s.bins) AS bigint)
+              ELSE f.idx - 1 END
+  FROM steps s
+  JOIN docs d ON d.rn = s.rn + 1,
+  LATERAL (
+    SELECT list_filter(range(1, cast(len(s.bins) AS bigint) + 1),
+                       j -> s.bins[cast(j AS int)] >= d.n_tokens)[1] AS idx
+  ) f
+),
+packed AS (SELECT doc_id, n_tokens, local_bin AS bin_id FROM steps WHERE rn > 0),
+stats AS (
+  SELECT bin_id, cast(sum(n_tokens) AS bigint) AS bin_tokens,
+         count(*) AS bin_docs
+  FROM packed GROUP BY bin_id
+)
+SELECT p.doc_id, p.n_tokens, p.bin_id, s.bin_tokens, s.bin_docs
+FROM packed p JOIN stats s USING (bin_id)
+ORDER BY p.doc_id
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """ORACLE-CHECKED end-to-end corpus curation — the composed
+    training-data flagship: exact n-gram-Jaccard near-dup pairs ->
+    distributed connected components -> drop non-canonical cluster members
+    (functions/graph.drop_near_duplicates, one anti-join) -> whitespace
+    token counts -> first-fit-decreasing sequence packing into 120-token
+    bins. DuckDB replays the whole chain (brute-force pairs, recursive-CTE
+    transitive closure, min-id survivors, recursive-CTE FFD), so every
+    stage boundary of the pipeline is value-hash-checked in one gate.
+    Plan shape: the pair join + one CC round-trip + one anti-join + the
+    per-group FFD applyInPandas — no driver-side data loops."""
+    from palimpzest_spark.functions.graph import drop_near_duplicates
+    from palimpzest_spark.functions.packing import pack_sequences
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 2 == 0)
+            & (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+        )
+        .select("doc_id", "text")
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, n=3)
+    kept = drop_near_duplicates(docs, pairs)
+    toks = kept.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(toks, "doc_id", "n_tokens", budget=120, n_groups=1).orderBy(
+        "doc_id"
+    )
