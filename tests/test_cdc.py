@@ -471,3 +471,62 @@ def test_iceberg_sql_parses_in_spark_grammar(spark):
     ]
     for sql in stmts:
         parser.parsePlan(sql)  # raises ParseException on bad grammar
+
+
+def test_spark_submit_pyfiles_launch_end_to_end(tmp_path):
+    """The north rule's launch path, actually executed: build the
+    --py-files archive, then run a CDC bootstrap + replay through the REAL
+    ``spark-submit`` binary with the engine code delivered ONLY via the zip
+    (cwd is the tmp dir and PYTHONPATH is scrubbed, so the repo checkout is
+    not importable — exactly how cluster executors receive code)."""
+    import os
+    import subprocess
+
+    from palimpzest_spark.submit import build_pyfiles_zip
+
+    out = build_pyfiles_zip(str(tmp_path / "pz.zip"))
+    job = tmp_path / "job.py"
+    job.write_text(
+        """
+import sys
+
+from palimpzest_spark.session import get_spark
+from palimpzest_spark.cdc import feedgen
+from palimpzest_spark.cdc.lake import SnapshotLakeTable
+from palimpzest_spark.cdc.merge import bootstrap
+from palimpzest_spark.cdc.runner import replay_batches
+
+spark = get_spark(master="local[4]")
+d = sys.argv[1]
+base = feedgen.gen_base_table(f"{d}/base", n_convs=20, max_turns=6, seed=3)
+feedgen.gen_change_feed(
+    f"{d}/feed", n_events=500, n_convs=20, max_turns=6, n_files=2, seed=3
+)
+table = SnapshotLakeTable(f"{d}/lake", n_buckets=4)
+bootstrap(spark, table, base)
+replay_batches(spark, table, f"{d}/feed", files_per_batch=1)
+print("FINAL_ROWS=" + str(table.read(spark).count()))
+spark.stop()
+"""
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            out,
+            str(job),
+            str(tmp_path / "data"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    marker = [ln for ln in r.stdout.splitlines() if ln.startswith("FINAL_ROWS=")]
+    assert marker, r.stdout[-2000:]
+    assert int(marker[0].split("=")[1]) > 0
