@@ -2860,3 +2860,29 @@ def curation_pipeline(spark, sf_dir):
     return pack_sequences(toks, "doc_id", "n_tokens", budget=120, n_groups=1).orderBy(
         "doc_id"
     )
+
+
+@_q("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORACLE-CHECKED ORC source: same lossless round-trip contract as the
+    JSONL/CSV twins, through Spark's native ORC writer/reader
+    (``sources.files.orc_files``); md5 text signatures hash-checked
+    against the original parquet via DuckDB."""
+    import tempfile
+
+    from palimpzest_spark.sources.files import orc_files
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="pz_orc_")
+    docs.write.mode("overwrite").orc(f"{d}/docs")
+    back = orc_files(spark, f"{d}/docs", schema=_roundtrip_schema())
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 12).alias("text_sig"),
+    ).orderBy("doc_id")

@@ -244,3 +244,14 @@ def csv_files(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
+
+
+def orc_files(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC corpus scan — the other mainstream columnar lake format (Hive
+    ecosystems). Native splittable JVM reader with predicate pushdown and
+    column pruning, same contract as the parquet registry; explicit
+    ``schema`` skips footer-merging across a huge file listing."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
