@@ -379,3 +379,36 @@ def test_jsonl_csv_sources_roundtrip_and_corrupt(spark, tmp_path):
     got = jsonl_files(spark, str(bad), schema=cschema).collect()
     assert len(got) == 2
     assert sum(1 for r in got if r._corrupt_record is not None) == 1
+
+
+def test_wav_ima_adpcm_roundtrip():
+    """IMA ADPCM (fmt 0x11): encode a sine with the spec's mirror encoder,
+    decode with the block decoder — reconstruction must track the signal
+    closely (ADPCM is lossy but a 440 Hz sine stays > 30 dB SNR), and the
+    header walk must report the right frame count and duration."""
+    import numpy as np
+
+    from palimpzest_spark.sources.wav_lite import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        wav_metadata,
+    )
+
+    rate = 16_000
+    t = np.arange(rate)  # 1 second
+    sig = 0.6 * np.sin(2 * np.pi * 440.0 * t / rate)
+    raw = encode_wav_ima_adpcm(sig, rate=rate)
+
+    meta = wav_metadata(raw)
+    assert meta is not None
+    r, ch, dur_ms = meta
+    assert r == rate and ch == 1
+    assert abs(dur_ms - 1000) < 50
+
+    rr, x = decode_wav(raw)
+    assert rr == rate
+    y = x[: len(sig), 0]
+    n = min(len(y), len(sig))
+    err = y[:n] - sig[:n]
+    snr_db = 10 * np.log10(np.mean(sig[:n] ** 2) / max(np.mean(err**2), 1e-12))
+    assert snr_db > 30, f"SNR {snr_db:.1f} dB too low"
