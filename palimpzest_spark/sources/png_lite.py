@@ -3,8 +3,8 @@
 Covers the PNG subset that makes image columns REAL instead of stubbed
 (VERDICT r1 flagged the multimodal decoders as placeholders): 8-bit
 greyscale (color type 0), RGB (2), greyscale+alpha (4) and RGBA (6),
-non-interlaced, with all five scanline filters (None/Sub/Up/Average/Paeth)
-implemented per the PNG specification. Palette and interlaced images raise
+with all five scanline filters (None/Sub/Up/Average/Paeth) and Adam7
+interlacing implemented per the PNG specification. Palette images raise
 with the missing capability named. Encoder writes filter-0 scanlines —
 enough for fixtures and round-trip tests against the real format.
 
@@ -59,15 +59,38 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise NotImplementedError(
             f"png_lite handles color types 0/2/4/6 (got {color_type}; palette needs PLTE)"
         )
-    if interlace:
-        raise NotImplementedError("png_lite does not handle Adam7 interlacing")
-
     ch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the (y0::dy, x0::dx) grids per the PNG spec pass layout
+        out = np.empty((height, width, ch), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, at = _unfilter(raw, at, pw, ph, ch)
+            out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+        return width, height, ch, out
+    lines, _ = _unfilter(raw, 0, width, height, ch)
+    return width, height, ch, lines.reshape(height, width, ch)
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, at: int, width: int, height: int, ch: int):
+    """Undo per-scanline filtering for one (sub-)image starting at ``at``
+    in the decompressed stream; returns (uint8 [height, width*ch], new at)."""
     stride = width * ch
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    at = 0
     for y in range(height):
         f = raw[at]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=at + 1).astype(np.int32)
@@ -95,7 +118,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return width, height, ch, out.reshape(height, width, ch)
+    return out, at
 
 
 def png_metadata(data: bytes) -> tuple[int, int, int] | None:
