@@ -38,6 +38,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     pos = 8
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -47,6 +48,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -55,27 +58,35 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("PNG missing IHDR")
     if bit_depth != 8:
         raise NotImplementedError(f"png_lite handles 8-bit depth only (got {bit_depth})")
-    if color_type not in _CHANNELS:
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG (color type 3) missing PLTE chunk")
+    elif color_type not in _CHANNELS:
         raise NotImplementedError(
-            f"png_lite handles color types 0/2/4/6 (got {color_type}; palette needs PLTE)"
+            f"png_lite handles color types 0/2/3/4/6 (got {color_type})"
         )
-    ch = _CHANNELS[color_type]
+    # palette rows are 1 byte/pixel indexes; expanded to RGB after unfilter
+    ch = 1 if color_type == 3 else _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the (y0::dy, x0::dx) grids per the PNG spec pass layout
         out = np.empty((height, width, ch), dtype=np.uint8)
         at = 0
-        for x0, y0, dx, dy in _ADAM7:
+        for x0, y0, dx, dy in _ADAM7:  # noqa: B007
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
             sub, at = _unfilter(raw, at, pw, ph, ch)
             out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
-        return width, height, ch, out
-    lines, _ = _unfilter(raw, 0, width, height, ch)
-    return width, height, ch, lines.reshape(height, width, ch)
+    else:
+        lines, _ = _unfilter(raw, 0, width, height, ch)
+        out = lines.reshape(height, width, ch)
+    if color_type == 3:
+        out = plte[out[:, :, 0]]
+        ch = 3
+    return width, height, ch, out
 
 
 # Adam7 pass grid: (x_start, y_start, x_step, y_step)

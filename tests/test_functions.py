@@ -456,3 +456,37 @@ def test_png_adam7_interlaced_decode():
     ww, hh, cc, out = decode_png(png)
     assert (ww, hh, cc) == (w, h, ch)
     assert np.array_equal(out, img)
+
+
+def test_png_palette_decode():
+    """Color type 3: PLTE indexes expand to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from palimpzest_spark.sources.png_lite import decode_png
+
+    h, w = 5, 7
+    plte = (np.arange(16 * 3, dtype=np.uint32) * 53 % 256).astype(np.uint8).reshape(16, 3)
+    idx = (np.arange(h * w, dtype=np.uint32) * 7 % 16).astype(np.uint8).reshape(h, w)
+    stream = bytearray()
+    for row in idx:
+        stream += b"\x00" + row.tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+    ww, hh, cc, out = decode_png(png)
+    assert (ww, hh, cc) == (w, h, 3)
+    assert np.array_equal(out, plte[idx])
