@@ -37,7 +37,10 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "text_quality",
+    "text_repetition_stats",
     "ann_cosine_topk",
+    "sem_topk_attach_oracle",
+    "curation_pipeline",
 ]
 
 
