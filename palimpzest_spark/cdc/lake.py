@@ -240,6 +240,40 @@ class SnapshotLakeTable:
         public = [c for c in df.columns if c not in META_COLS]
         return df.filter(~F.col("_deleted")).select(*public)
 
+    def read_conv(
+        self,
+        spark: SparkSession,
+        conv_ids: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup: current state of the given conversations, scanning
+        ONLY their hash buckets' files (the Iceberg bucket-transform
+        file-skipping path). At 10^10 rows a conversation fetch touches
+        1/n_buckets of the table instead of all of it; the bucket ids come
+        from the same ``pmod(xxhash64(conv_id), n_buckets)`` expression the
+        merge path partitions by, computed on a literal frame (one tiny
+        job, no table scan)."""
+        if not conv_ids:
+            schema = self.schema(version) or T.StructType([])
+            return spark.createDataFrame([], schema)
+        ids = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+        rows = ids.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+        buckets = sorted(r["b"] for r in rows)
+        df = self.read_raw(spark, buckets=buckets, version=version)
+        if df is None:
+            schema = self.schema(version) or T.StructType([])
+            return spark.createDataFrame([], schema)
+        if self.has_deltas(version):
+            df = lww_fold(df)
+        public = [c for c in df.columns if c not in META_COLS]
+        return (
+            df.filter(~F.col("_deleted"))
+            .filter(F.col("conv_id").isin(conv_ids))
+            .select(*public)
+        )
+
     # -- writes ---------------------------------------------------------------
 
     def write_files(self, df: DataFrame, buckets: list[int]) -> tuple[str, dict, dict]:

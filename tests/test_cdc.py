@@ -530,3 +530,35 @@ spark.stop()
     marker = [ln for ln in r.stdout.splitlines() if ln.startswith("FINAL_ROWS=")]
     assert marker, r.stdout[-2000:]
     assert int(marker[0].split("=")[1]) > 0
+
+
+def test_read_conv_point_lookup_prunes_files(spark, tmp_path):
+    """read_conv must return exactly the full-scan answer for the requested
+    conversations while touching only their buckets' files."""
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = str(tmp_path)
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=40, max_turns=6, seed=5)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=1000, n_convs=40, max_turns=6, n_files=2, seed=5
+    )
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=1)
+
+    from pyspark.sql import functions as F
+
+    full = table.read(spark)
+    targets = [r["conv_id"] for r in full.select("conv_id").distinct().limit(3).collect()]
+
+    got = table.read_conv(spark, targets)
+    expect = full.filter(F.col("conv_id").isin(targets))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, expect.collect()))
+    assert a == b and len(a) > 0
+
+    # pruning: the point-lookup plan reads strictly fewer files
+    assert len(set(got.inputFiles())) < len(set(full.inputFiles()))
