@@ -88,6 +88,44 @@ def suggest_n_buckets(est_table_bytes: int, target_bucket_bytes: int = 256 << 20
     return max(1 << math.ceil(math.log2(need)), 4)
 
 
+def _pq_ts_range(path: str) -> tuple[int | None, int | None]:
+    """(min, max) epoch-microseconds of the ``ts`` column from parquet
+    row-group statistics — footer metadata only, no data pages."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        idx = md.schema.names.index("ts")
+    except ValueError:
+        return None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        stats = group.column(idx).statistics
+        if stats is None:
+            return None, None  # unknown voids the zone map
+        if not stats.has_min_max:
+            if stats.null_count == group.num_rows:
+                # all-null group: null ts never matches a range predicate,
+                # so it constrains nothing — the group is prunable
+                continue
+            return None, None
+        mn, mx = stats.min, stats.max
+        if isinstance(mn, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=mn.tzinfo)
+            mn = int((mn - epoch).total_seconds() * 1_000_000)
+            mx = int((mx - epoch).total_seconds() * 1_000_000)
+        if not isinstance(mn, int):
+            return None, None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return 0, -1  # every ts is null: the empty range, prunable by any query
+    return lo, hi
+
+
 def _pq_rows(path: str) -> int:
     """Row count from the parquet footer — driver-side metadata read, no job."""
     import pyarrow.parquet as pq
@@ -274,9 +312,70 @@ class SnapshotLakeTable:
             .select(*public)
         )
 
+    def read_ts_range(
+        self,
+        spark: SparkSession,
+        ts_from,
+        ts_to,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Rows whose (LWW-final) ``ts`` falls in [ts_from, ts_to], skipping
+        base files whose footer zone map does not overlap the range.
+
+        Pruning is only applied to buckets with NO pending deltas: under
+        merge-on-read, dropping a file that holds a key's NEWEST version
+        (outside the range) while keeping an older in-range version would
+        resurrect the old row — so delta-carrying buckets are read whole and
+        folded. Compaction therefore also restores full skipping power.
+        ``ts_from``/``ts_to`` are datetimes or epoch-micro ints."""
+        import datetime
+
+        def _us(v):
+            if isinstance(v, datetime.datetime):
+                epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                return int((v - epoch).total_seconds() * 1_000_000)
+            return int(v)
+
+        lo, hi = _us(ts_from), _us(ts_to)
+        snap = self.snapshot(version)
+        fstats = snap.get("filestats", {})
+        paths = []
+        for b in range(self.n_buckets):
+            deltas = snap["deltas"].get(str(b), [])
+            base = snap["files"].get(str(b), [])
+            if deltas:
+                paths += base + deltas  # no pruning: fold needs every version
+                continue
+            for rel in base:
+                st = fstats.get(rel, {})
+                zmin, zmax = st.get("ts_min"), st.get("ts_max")
+                if zmin is not None and (zmax < lo or zmin > hi):
+                    continue  # file skipped by zone map
+                paths.append(rel)
+        schema = self.schema(version)
+        if not paths or schema is None:
+            return spark.createDataFrame([], schema or T.StructType([]))
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in paths]
+        )
+        if self.has_deltas(version):
+            df = lww_fold(df)
+        public = [c for c in df.columns if c not in META_COLS]
+        ts_col = F.col("ts")
+        return (
+            df.filter(~F.col("_deleted"))
+            .filter(
+                (ts_col >= F.timestamp_micros(F.lit(lo)))
+                & (ts_col <= F.timestamp_micros(F.lit(hi)))
+            )
+            .select(*public)
+        )
+
     # -- writes ---------------------------------------------------------------
 
-    def write_files(self, df: DataFrame, buckets: list[int]) -> tuple[str, dict, dict]:
+    def write_files(
+        self, df: DataFrame, buckets: list[int], max_records_per_file: int = 0
+    ) -> tuple[str, dict, dict]:
         """Materialize ``df`` (must contain ``_bucket``) as uncommitted data
         files, laid out per bucket. Returns ``(out_rel, files_by_bucket,
         filestats)`` where filestats maps each new relpath to its
@@ -292,12 +391,10 @@ class SnapshotLakeTable:
         # partition the write by a *copy* of the bucket column: partitionBy
         # strips its column from the files, and we need _bucket readable when
         # scanning leaf files directly (no basePath reconstruction).
-        (
-            df.withColumn("_bp", F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_bp")
-            .parquet(out_abs)
-        )
+        writer = df.withColumn("_bp", F.col("_bucket")).write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("_bp").parquet(out_abs)
         t_j1 = time.perf_counter()
         new_files: dict[str, list[str]] = {str(b): [] for b in buckets}
         stats: dict[str, dict] = {}
@@ -319,7 +416,13 @@ class SnapshotLakeTable:
 
         def _stat(rel: str) -> tuple[str, dict]:
             ap = os.path.join(self.root, rel)
-            return rel, {"bytes": os.path.getsize(ap), "rows": _pq_rows(ap)}
+            st = {"bytes": os.path.getsize(ap), "rows": _pq_rows(ap)}
+            zmin, zmax = _pq_ts_range(ap)
+            if zmin is not None:
+                # zone map: per-file ts range from parquet footer statistics
+                # (no data read) — powers read_ts_range file skipping
+                st["ts_min"], st["ts_max"] = zmin, zmax
+            return rel, st
 
         with ThreadPoolExecutor(max_workers=min(16, max(len(rels), 1))) as ex:
             stats.update(dict(ex.map(_stat, rels)))
@@ -427,15 +530,35 @@ class SnapshotLakeTable:
         files. State-preserving (same LWW fold the readers apply); tombstones
         are kept so late out-of-order events still cannot resurrect rows."""
         snap = self.snapshot()
+        # default: only delta-holding buckets need folding; an EXPLICIT
+        # bucket list forces a rewrite even without deltas (Iceberg's
+        # rewrite_data_files — re-sorts/re-splits base files so zone maps
+        # regain skipping power after the layout degrades)
         todo = [
             b for b in (range(self.n_buckets) if buckets is None else buckets)
             if snap["deltas"].get(str(b))
+            or (buckets is not None and snap["files"].get(str(b)))
         ]
         if not todo:
             return self.current_version()
         raw = self.read_raw(spark, todo)
+        # ts-sorted, size-split output (Iceberg sort-order discipline): each
+        # bucket's base lands as one-or-more time-sliced files with NARROW
+        # footer zone maps, so read_ts_range can skip whole files instead of
+        # re-reading all history on every time-window query
+        folded = (
+            lww_fold(raw)
+            .hint("rebalance", "_bucket")
+            .sortWithinPartitions("_bucket", "ts")
+        )
+        rows = sum(
+            self.bucket_stats().get(b, {}).get("base_rows", 0)
+            + self.bucket_stats().get(b, {}).get("delta_rows", 0)
+            for b in todo
+        )
+        per_file = max(rows // max(len(todo) * 4, 1), 10_000)
         _, new_files, stats = self.write_files(
-            lww_fold(raw).hint("rebalance", "_bucket"), todo
+            folded, todo, max_records_per_file=per_file
         )
         return self.commit_merge(
             todo, new_files, {}, stats, snap["schema"], snap["summary"]

@@ -562,3 +562,59 @@ def test_read_conv_point_lookup_prunes_files(spark, tmp_path):
 
     # pruning: the point-lookup plan reads strictly fewer files
     assert len(set(got.inputFiles())) < len(set(full.inputFiles()))
+
+
+def test_read_ts_range_zone_map_pruning(spark, tmp_path):
+    """Zone maps: after compaction a time-range read must skip non-
+    overlapping base files; with pending deltas it must fall back to whole
+    buckets — exact answers in both regimes."""
+    from pyspark.sql import functions as F
+
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = str(tmp_path)
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=40, max_turns=6, seed=9)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=1500, n_convs=40, max_turns=6, n_files=3, seed=9
+    )
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=1)
+
+    full = table.read(spark)
+    ts_lo, ts_hi = full.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    mid = ts_lo + (ts_hi - ts_lo) / 2
+
+    def check():
+        got = table.read_ts_range(spark, ts_lo, mid)
+        expect = full.filter((F.col("ts") >= ts_lo) & (F.col("ts") <= mid))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+        return got
+
+    # regime 1: deltas pending -> exact, whole-bucket reads
+    got = check()
+
+    # regime 2: compact everything -> ts-sorted split base files whose
+    # zone maps prune (force small files so each bucket gets several)
+    import palimpzest_spark.cdc.lake as LK
+
+    orig = LK.SnapshotLakeTable.write_files
+
+    def small_files(self, df, buckets, max_records_per_file=0):
+        return orig(self, df, buckets, max_records_per_file=10)
+
+    LK.SnapshotLakeTable.write_files = small_files
+    try:
+        table.compact(spark, buckets=list(range(8)))  # forced rewrite
+    finally:
+        LK.SnapshotLakeTable.write_files = orig
+    full = table.read(spark)
+    got = check()
+    n_all = len(set(table.read(spark).inputFiles()))
+    n_pruned = len(set(got.inputFiles()))
+    assert n_pruned < n_all, (n_pruned, n_all)
