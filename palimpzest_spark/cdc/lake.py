@@ -551,9 +551,10 @@ class SnapshotLakeTable:
             .hint("rebalance", "_bucket")
             .sortWithinPartitions("_bucket", "ts")
         )
+        bstats = self.bucket_stats()
         rows = sum(
-            self.bucket_stats().get(b, {}).get("base_rows", 0)
-            + self.bucket_stats().get(b, {}).get("delta_rows", 0)
+            bstats.get(b, {}).get("base_rows", 0)
+            + bstats.get(b, {}).get("delta_rows", 0)
             for b in todo
         )
         per_file = max(rows // max(len(todo) * 4, 1), 10_000)
