@@ -115,8 +115,9 @@ def _pq_ts_range(path: str) -> tuple[int | None, int | None]:
         mn, mx = stats.min, stats.max
         if isinstance(mn, datetime.datetime):
             epoch = datetime.datetime(1970, 1, 1, tzinfo=mn.tzinfo)
-            mn = int((mn - epoch).total_seconds() * 1_000_000)
-            mx = int((mx - epoch).total_seconds() * 1_000_000)
+            us = datetime.timedelta(microseconds=1)
+            mn = (mn - epoch) // us
+            mx = (mx - epoch) // us
         if not isinstance(mn, int):
             return None, None
         lo = mn if lo is None else min(lo, mn)
@@ -333,7 +334,9 @@ class SnapshotLakeTable:
         def _us(v):
             if isinstance(v, datetime.datetime):
                 epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                return int((v - epoch).total_seconds() * 1_000_000)
+                # exact integer micros: total_seconds() is a float64 and can
+                # round a boundary microsecond
+                return (v - epoch) // datetime.timedelta(microseconds=1)
             return int(v)
 
         lo, hi = _us(ts_from), _us(ts_to)

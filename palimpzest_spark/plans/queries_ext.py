@@ -563,7 +563,7 @@ def cdc_time_travel_changes(spark, sf_dir):
     )
 
 
-def _events_change_feed(spark, sf_dir, with_tool: bool):
+def _events_change_feed(spark, sf_dir, with_tool: bool, with_ts: bool = False):
     """Deterministic change feed derived from the driver-registered ``events``
     table: key = (user_id, event_id % 5), watermark = (ts, event_id), ~2%
     deletes (value < 1.0). Written as 4 interleaved ``feed-*.parquet`` files —
@@ -587,6 +587,13 @@ def _events_change_feed(spark, sf_dir, with_tool: bool):
             F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
         ).alias("text"),
     ]
+    if with_ts:
+        # event time in the payload too: the merged rows' PUBLIC ts column
+        # is then the winning event's timestamp (string in JSON; the
+        # reconciler's try_cast probe restores the base's timestamp type)
+        payload_fields.append(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")
+        )
     if with_tool:
         # NULL for 3 of 4 feed files; to_json drops null fields, so the key
         # is ABSENT (not null) until the last batch → real schema widening
@@ -2886,3 +2893,114 @@ def source_orc_roundtrip(spark, sf_dir):
         "n_chars",
         F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 12).alias("text_sig"),
     ).orderBy("doc_id")
+
+
+@_q(
+    "cdc_point_lookup_convs",
+    oracle="""
+WITH feed AS ({feed}),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text, op,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+         ) AS rn
+  FROM feed
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 'D'
+  UNION ALL
+  SELECT cast(user_id AS varchar) AS conv_id, cast(-1 AS bigint) AS turn_idx,
+         'seed' AS role, 'seed#' || cast(user_id AS varchar) AS text
+  FROM events GROUP BY user_id
+)
+SELECT conv_id, turn_idx, role, text FROM state
+WHERE conv_id IN (SELECT DISTINCT cast(user_id AS varchar)
+                  FROM events WHERE user_id % 7 = 0)
+ORDER BY conv_id, turn_idx
+""".format(feed=_LWW_FEED_SQL.format(tool_expr="")),
+)
+def cdc_point_lookup_convs(spark, sf_dir):
+    """ORACLE-CHECKED pruned point lookup: after the real replay, fetch the
+    final state of a conversation subset via ``SnapshotLakeTable.read_conv``
+    (bucket-hash file skipping — scans only the requested conversations'
+    buckets, the Iceberg bucket-transform path). DuckDB recomputes the LWW
+    fold restricted to the same conversations; a wrong bucket route or a
+    missed delta file changes the hash."""
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = _events_change_feed(spark, sf_dir, with_tool=False)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    replay_batches(spark, table, d, files_per_batch=1)
+
+    ev = _t(spark, sf_dir, "events")
+    targets = [
+        r["conv_id"]
+        for r in ev.filter(F.col("user_id") % 7 == 0)
+        .select(F.col("user_id").cast("string").alias("conv_id"))
+        .distinct()
+        .collect()
+    ]
+    return table.read_conv(spark, targets).select(
+        "conv_id", "turn_idx", "role", "text"
+    ).orderBy("conv_id", "turn_idx")
+
+
+@_q(
+    "cdc_ts_range_read",
+    oracle="""
+WITH feed AS ({feed}),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+         ) AS rn, op
+  FROM feed
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, ts FROM ranked WHERE rn = 1 AND op <> 'D'
+  UNION ALL
+  SELECT cast(user_id AS varchar) AS conv_id, cast(-1 AS bigint) AS turn_idx,
+         'seed' AS role, 'seed#' || cast(user_id AS varchar) AS text,
+         min(ts) AS ts
+  FROM events GROUP BY user_id
+),
+bounds AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events)
+SELECT conv_id, turn_idx, role, text FROM state, bounds
+WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= lo + (hi - lo) // 2
+ORDER BY conv_id, turn_idx
+""".format(feed=_LWW_FEED_SQL.format(tool_expr="")),
+)
+def cdc_ts_range_read(spark, sf_dir):
+    """ORACLE-CHECKED zone-map time-range read: the feed carries event time
+    in the payload (with_ts), so after the real replay every merged row's
+    PUBLIC ts is its winning event's timestamp. A forced ts-sorted rewrite
+    (``compact(buckets=...)``, Iceberg rewrite_data_files) re-splits base
+    files, then ``read_ts_range`` over the lower half of the event-time
+    span must return exactly the LWW-final rows (winners + seeds) whose ts
+    falls in range — DuckDB recomputes the fold + epoch-microsecond range
+    filter. Bounds travel as integer micros on both engines so no
+    datetime-arithmetic rounding can drift."""
+    import datetime
+
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = _events_change_feed(spark, sf_dir, with_tool=False, with_ts=True)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    replay_batches(spark, table, d, files_per_batch=1)
+    table.compact(spark, buckets=list(range(8)))
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=lo.tzinfo)
+    us = datetime.timedelta(microseconds=1)
+    lo_us, hi_us = (lo - epoch) // us, (hi - epoch) // us
+    mid_us = lo_us + (hi_us - lo_us) // 2
+    return table.read_ts_range(spark, lo_us, mid_us).select(
+        "conv_id", "turn_idx", "role", "text"
+    ).orderBy("conv_id", "turn_idx")
