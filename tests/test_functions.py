@@ -490,3 +490,57 @@ def test_png_palette_decode():
     ww, hh, cc, out = decode_png(png)
     assert (ww, hh, cc) == (w, h, 3)
     assert np.array_equal(out, plte[idx])
+
+
+def test_png_bit_depths():
+    """1/2/4-bit gray scale to 0-255; 4-bit palette indexes; 16-bit keeps
+    the high byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from palimpzest_spark.sources.png_lite import decode_png
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    def build(w, h, depth, ctype_code, rows_bits, extra=b""):
+        stream = bytearray()
+        for row in rows_bits:
+            stream += b"\x00" + row
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype_code, 0, 0, 0))
+            + extra
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+
+    # 1-bit gray, 10px wide: bits 1010101010 -> bytes 0b10101010, 0b10......
+    png = build(10, 2, 1, 0, [bytes([0b10101010, 0b10000000])] * 2)
+    _, _, cc, out = decode_png(png)
+    assert cc == 1
+    assert list(out[0, :, 0]) == [255, 0] * 5
+
+    # 2-bit gray: values 0,1,2,3 -> 0,85,170,255
+    png = build(4, 1, 2, 0, [bytes([0b00011011])])
+    _, _, _, out = decode_png(png)
+    assert list(out[0, :, 0]) == [0, 85, 170, 255]
+
+    # 4-bit palette: indexes 0..3 map through PLTE
+    plte = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]], dtype=np.uint8)
+    png = build(4, 1, 4, 3, [bytes([0x01, 0x23])],
+                extra=chunk(b"PLTE", plte.tobytes()))
+    _, _, cc, out = decode_png(png)
+    assert cc == 3
+    assert np.array_equal(out[0], plte[[0, 1, 2, 3]])
+
+    # 16-bit gray: high byte kept
+    row = struct.pack(">HHH", 0x0102, 0x8090, 0xFFEE)
+    png = build(3, 1, 16, 0, [row])
+    _, _, _, out = decode_png(png)
+    assert list(out[0, :, 0]) == [0x01, 0x80, 0xFF]
