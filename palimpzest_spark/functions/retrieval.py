@@ -1,0 +1,118 @@
+"""Lexical retrieval: BM25 scoring over a document corpus.
+
+The standard keyword-search scorer (Robertson/Sparck Jones; the Lucene
+variant of the idf), complementing the embedding tiers in
+``functions/similarity.py`` — a training-data pipeline uses lexical
+retrieval for targeted corpus slicing (find all docs about X) where
+embeddings are overkill or unavailable.
+
+Scale shape: ONE corpus scan. Corpus statistics (N, avg doc length,
+per-term document frequencies) come from a single aggregate that is
+broadcast back across the corpus — no shuffle of the documents
+themselves, no inverted-index materialization needed for scoring (an
+index only accelerates candidate selection; at 100 TB add a
+``block_col``/index probe in front, the scorer is unchanged). The
+per-document score is a FIXED-ORDER sum over the query terms, so results
+are bit-deterministic across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag of query ``terms``.
+
+    score(d) = sum_t idf(t) * tf_td*(k1+1) / (tf_td + k1*(1 - b + b*dl/avgdl))
+    with the Lucene idf: ln(1 + (N - df_t + 0.5)/(df_t + 0.5)).
+
+    Returns (id_col, score) with score HALF_UP-rounded to 4dp, ordered
+    (score DESC, id ASC). Terms are matched as whole whitespace tokens of
+    the lowercased text (the same tokenizer every text op in this engine
+    uses). Duplicate query terms contribute once per occurrence.
+    """
+    base = df.select(
+        F.col(id_col), _tokens(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks").cast("double"))
+
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(
+                F.when(F.array_contains("_toks", t.lower()), F.lit(1)).otherwise(0)
+            ).cast("double").alias(f"_df{i}")
+        )
+    stats = base.agg(*aggs)
+
+    scored = base.crossJoin(F.broadcast(stats))
+    score: Column = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tl = F.lit(t.lower())
+        tf = F.size(F.filter("_toks", lambda x: x == tl)).cast("double")  # noqa: B023
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+    return (
+        scored.withColumn("_score", score)
+        .select(
+            id_col,
+            (F.floor(F.col("_score") * 10000.0 + 0.5) / 10000.0).alias("score"),
+            F.col("_score").alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), F.asc(id_col))
+        .limit(k)
+        .drop("_raw")
+    )
+
+
+def bm25_topk_exact_py(
+    rows: list[tuple[object, str]],
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[object, float]]:
+    """Driver-side reference implementation for tests (same math, plain
+    Python) — NOT for production data sizes."""
+    toks = {i: t.lower().strip().split() for i, t in rows}
+    n = float(len(rows))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {
+        t: float(sum(1 for v in toks.values() if t.lower() in v)) for t in terms
+    }
+    out = []
+    for i, _ in rows:
+        dl = float(len(toks[i]))
+        s = 0.0
+        for t in terms:
+            tf = float(toks[i].count(t.lower()))
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s = s + idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out.append((i, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return [(i, math.floor(s * 10000.0 + 0.5) / 10000.0) for i, s in out[:k]]

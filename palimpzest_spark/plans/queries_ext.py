@@ -3004,3 +3004,56 @@ def cdc_ts_range_read(spark, sf_dir):
     return table.read_ts_range(spark, lo_us, mid_us).select(
         "conv_id", "turn_idx", "role", "text"
     ).orderBy("conv_id", "turn_idx")
+
+
+@_q(
+    "bm25_search_docs",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS double) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT cast(count(*) AS double) AS n, avg(dl) AS avgdl,
+         cast(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS double) AS df0,
+         cast(sum(CASE WHEN list_contains(toks, 'filter') THEN 1 ELSE 0 END) AS double) AS df1,
+         cast(sum(CASE WHEN list_contains(toks, 'broadcast') THEN 1 ELSE 0 END) AS double) AS df2
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+    0.0
+    + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+      * cast(len(list_filter(toks, x -> x = 'join')) AS double) * 2.2
+      / (cast(len(list_filter(toks, x -> x = 'join')) AS double)
+         + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+      * cast(len(list_filter(toks, x -> x = 'filter')) AS double) * 2.2
+      / (cast(len(list_filter(toks, x -> x = 'filter')) AS double)
+         + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+      * cast(len(list_filter(toks, x -> x = 'broadcast')) AS double) * 2.2
+      / (cast(len(list_filter(toks, x -> x = 'broadcast')) AS double)
+         + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS raw
+  FROM base, stats
+)
+SELECT doc_id,
+       floor(raw * cast(10000 AS double) + cast(0.5 AS double))
+         / cast(10000 AS double) AS score
+FROM scored
+ORDER BY raw DESC, doc_id ASC LIMIT 10
+""",
+)
+def bm25_search_docs(spark, sf_dir):
+    """ORACLE-CHECKED BM25 lexical retrieval
+    (functions/retrieval.bm25_topk): one corpus scan, a broadcast stats
+    aggregate (N, avgdl, per-term dfs), fixed-order per-term score sum —
+    DuckDB recomputes the Lucene-idf BM25 ranking term by term, so the
+    tokenizer, the corpus statistics, and the score arithmetic are all
+    value-hash-checked."""
+    from palimpzest_spark.functions.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["join", "filter", "broadcast"], k=10)

@@ -544,3 +544,25 @@ def test_png_bit_depths():
     png = build(3, 1, 16, 0, [row])
     _, _, _, out = decode_png(png)
     assert list(out[0, :, 0]) == [0x01, 0x80, 0xFF]
+
+
+def test_bm25_matches_python_reference(spark):
+    from palimpzest_spark.functions.retrieval import bm25_topk, bm25_topk_exact_py
+
+    rows = [
+        (1, "spark join hash join broadcast"),
+        (2, "filter scan filter filter"),
+        (3, "join filter"),
+        (4, "completely unrelated words here about cats"),
+        (5, "join join join join join join join join"),
+        (6, "broadcast small table"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(df, ["join", "broadcast"], k=4).collect()]
+    want = bm25_topk_exact_py(rows, ["join", "broadcast"], k=4)
+    assert got == want
+    # term spam is length-normalized: doc 5 must not dominate doc 1 by 8x
+    scores = dict(got)
+    assert 1 in scores and 5 in scores
+    assert scores[5] < 2.5 * scores[1]
