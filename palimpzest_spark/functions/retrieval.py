@@ -116,3 +116,66 @@ def bm25_topk_exact_py(
         out.append((i, s))
     out.sort(key=lambda x: (-x[1], x[0]))
     return [(i, math.floor(s * 10000.0 + 0.5) / 10000.0) for i, s in out[:k]]
+
+
+def write_token_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize an inverted index partitioned BY TOKEN HASH BUCKET — the
+    100 TB candidate-selection front for :func:`bm25_topk` (same discipline
+    as ``similarity.write_lsh_index``): postings are (token, doc id, term
+    frequency) rows laid out so a term lookup becomes parquet partition
+    pruning touching ~1/n_buckets of the index. Nothing but (token, id, tf)
+    is stored — document text never enters the index."""
+    postings = (
+        corpus.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("_tb", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int"))
+    )
+    postings.write.mode("overwrite").partitionBy("_tb").parquet(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def token_index_lookup(
+    spark,
+    path: str,
+    terms: list[str],
+    mode: str = "any",
+) -> DataFrame:
+    """Doc ids matching the terms via the partitioned inverted index.
+
+    ``mode='any'`` (OR) returns ids with at least one term; ``'all'`` (AND)
+    intersects via a postings count. The scan carries an ``_tb IN (...)``
+    predicate over the partition column, so only the probed term buckets'
+    files are read (assert-tested via inputFiles)."""
+    import json
+    import os
+
+    lows = sorted({t.lower() for t in terms})
+    idx = spark.read.parquet(path)
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    probe = spark.createDataFrame([(t,) for t in lows], "tok string").select(
+        F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int").alias("b")
+    )
+    buckets = sorted({r["b"] for r in probe.collect()})
+    hits = idx.filter(F.col("_tb").isin(buckets)).filter(F.col("tok").isin(lows))
+    if mode == "any":
+        return hits.select("id").distinct()
+    if mode == "all":
+        return (
+            hits.groupBy("id")
+            .agg(F.countDistinct("tok").alias("_k"))
+            .filter(F.col("_k") == len(lows))
+            .select("id")
+        )
+    raise ValueError(f"unknown mode: {mode}")

@@ -566,3 +566,38 @@ def test_bm25_matches_python_reference(spark):
     scores = dict(got)
     assert 1 in scores and 5 in scores
     assert scores[5] < 2.5 * scores[1]
+
+
+def test_token_index_lookup_prunes_and_matches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from palimpzest_spark.functions.retrieval import (
+        token_index_lookup,
+        write_token_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta delta"),
+        (3, "alpha alpha epsilon"),
+        (4, "zeta eta"),
+        (5, "Alpha BETA"),  # tokenizer lowercases
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "tidx")
+    write_token_index(df, path, n_buckets=16)
+
+    got_any = sorted(r["id"] for r in
+                     token_index_lookup(spark, path, ["alpha", "delta"]).collect())
+    assert got_any == [1, 2, 3, 5]
+    got_all = sorted(r["id"] for r in
+                     token_index_lookup(spark, path, ["alpha", "beta"], mode="all").collect())
+    assert got_all == [1, 5]
+
+    # pruning: the executed plan must carry a partition filter on _tb and
+    # select a strict subset of partitions (inputFiles() ignores partition
+    # pruning, so assert on the physical scan node instead)
+    pruned = token_index_lookup(spark, path, ["alpha"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and any("_tb" in ln for ln in scan_lines), plan
