@@ -3057,3 +3057,87 @@ def bm25_search_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bm25_topk(docs, ["join", "filter", "broadcast"], k=10)
+
+
+@_q(
+    "quality_audit_events",
+    oracle="""
+WITH m AS (SELECT * FROM events WHERE event_id % 101 = 0),
+feed AS (
+  SELECT event_id, ts, event_type, value, props FROM events
+  UNION ALL SELECT event_id + 20000000, NULL, event_type, value, props FROM m
+  UNION ALL SELECT event_id + 30000000, ts, 'bogus', value, props FROM m
+  UNION ALL SELECT event_id + 40000000, ts, event_type, value + 100000.0, props FROM m
+  UNION ALL SELECT event_id + 50000000, ts, event_type, value, 'not json !!' FROM m
+  UNION ALL SELECT event_id, ts, event_type, value, props FROM m
+),
+v AS (
+  SELECT
+    sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v0,
+    sum(CASE WHEN event_type IS NOT NULL
+              AND event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+         THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 1000.0)
+         THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN props IS NOT NULL
+              AND NOT regexp_full_match(props, '\\{.*\\}')
+         THEN 1 ELSE 0 END) AS v3
+  FROM feed
+),
+dups AS (
+  SELECT coalesce(sum(c), 0) AS v4 FROM (
+    SELECT count(*) AS c FROM feed GROUP BY event_id HAVING count(*) > 1
+  )
+)
+SELECT rule, violations FROM (
+  SELECT 'not_null(ts)' AS rule, cast(v0 AS bigint) AS violations, 0 AS ord FROM v
+  UNION ALL
+  SELECT 'accepted_values(event_type)', cast(v1 AS bigint), 1 FROM v
+  UNION ALL
+  SELECT 'range(value)', cast(v2 AS bigint), 2 FROM v
+  UNION ALL
+  SELECT 'regex(props)', cast(v3 AS bigint), 3 FROM v
+  UNION ALL
+  SELECT 'unique(event_id)', cast(v4 AS bigint), 4 FROM dups
+) ORDER BY ord
+""",
+)
+def quality_audit_events(spark, sf_dir):
+    """ORACLE-CHECKED data-quality audit (functions/quality.audit_rules —
+    the dbt-test/Great-Expectations rule family an ingest pipeline runs in
+    front of every merge): the raw events table is clean, so five
+    deterministic violation classes are planted (null ts, bad enum,
+    out-of-range value, malformed props, duplicated event ids) and every
+    rule's violation count is value-hash-checked against DuckDB's recount.
+    One aggregate pass for the row-local rules + a key hash-agg for
+    uniqueness."""
+    from palimpzest_spark.functions.quality import audit_rules
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value", "props"
+    )
+    m = ev.filter(F.col("event_id") % 101 == 0)
+    feed = (
+        ev
+        .unionByName(m.select((F.col("event_id") + 20000000).alias("event_id"),
+                              F.lit(None).cast("timestamp_ntz").alias("ts"),
+                              "event_type", "value", "props"))
+        .unionByName(m.select((F.col("event_id") + 30000000).alias("event_id"),
+                              "ts", F.lit("bogus").alias("event_type"),
+                              "value", "props"))
+        .unionByName(m.select((F.col("event_id") + 40000000).alias("event_id"),
+                              "ts", "event_type",
+                              (F.col("value") + 100000.0).alias("value"), "props"))
+        .unionByName(m.select((F.col("event_id") + 50000000).alias("event_id"),
+                              "ts", "event_type", "value",
+                              F.lit("not json !!").alias("props")))
+        .unionByName(m)
+    )
+    rules = [
+        ("not_null", "ts"),
+        ("accepted_values", "event_type", ["click", "view", "purchase", "signup", "error"]),
+        ("range", "value", 0.0, 1000.0),
+        ("regex", "props", r"\{.*\}"),
+        ("unique", ["event_id"]),
+    ]
+    return audit_rules(feed, rules).orderBy(F.lit(1))

@@ -601,3 +601,37 @@ def test_token_index_lookup_prunes_and_matches(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scan_lines and any("_tb" in ln for ln in scan_lines), plan
+
+
+def test_quality_quarantine_split(spark):
+    from palimpzest_spark.functions.quality import audit_rules, quarantine
+
+    rows = [
+        (1, "click", 5.0),
+        (2, "view", -3.0),      # range violation
+        (3, None, 7.0),         # not_null violation
+        (4, "bogus", 8.0),      # accepted_values violation
+        (5, "click", 9.0),
+        (5, "view", 1.0),       # duplicate id (both rows quarantined)
+    ]
+    df = spark.createDataFrame(rows, ["id", "etype", "v"])
+    rules = [
+        ("not_null", "etype"),
+        ("accepted_values", "etype", ["click", "view"]),
+        ("range", "v", 0.0, 100.0),
+        ("unique", ["id"]),
+    ]
+    audit = {r["rule"]: r["violations"] for r in audit_rules(df, rules).collect()}
+    assert audit == {
+        "not_null(etype)": 1,
+        "accepted_values(etype)": 1,
+        "range(v)": 1,
+        "unique(id)": 2,
+    }
+    clean, bad = quarantine(df, rules)
+    assert sorted(r["id"] for r in clean.collect()) == [1]
+    labels = {(r["id"], r["etype"]): list(r["_violated"]) for r in bad.collect()}
+    assert labels[(2, "view")] == ["range(v)"]
+    assert labels[(3, None)] == ["not_null(etype)"]
+    assert labels[(4, "bogus")] == ["accepted_values(etype)"]
+    assert labels[(5, "click")] == ["unique(id)"]
