@@ -53,6 +53,29 @@ def _emit(table: SnapshotLakeTable, m: dict[str, Any]) -> None:
         f.write(json.dumps(m) + "\n")
 
 
+def _apply_quarantine(batch, rules, dead_letter_dir, batch_id):
+    """Split a microbatch through the data-quality gates; violating change
+    events go to the dead-letter sink (append-mode parquet, labeled with
+    the offending rules and the batch id) instead of poisoning the merge.
+    Returns (clean_batch, quarantined_count)."""
+    from pyspark.sql import functions as F
+
+    from palimpzest_spark.functions.quality import quarantine
+
+    clean, bad = quarantine(batch, rules)
+    bad = bad.persist()
+    n_bad = bad.count()
+    if n_bad and dead_letter_dir:
+        (
+            bad.withColumn("_violated", F.array_join("_violated", ";"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(dead_letter_dir)
+        )
+    bad.unpersist()
+    return clean, n_bad
+
+
 def replay_batches(
     spark: SparkSession,
     table: SnapshotLakeTable,
@@ -61,11 +84,15 @@ def replay_batches(
     start_batch_id: int = 0,
     max_batches: int | None = None,
     skip_files: int = 0,
+    quarantine_rules: list | None = None,
+    dead_letter_dir: str | None = None,
 ) -> list[dict[str, Any]]:
     """Batch-mode replay: feed files grouped in order → merge_batch each.
     ``skip_files`` drops the first N feed files (tail-only replay: the
     scaling harness replays a feed prefix into its template once, then
-    measures only the remaining steady-tail files)."""
+    measures only the remaining steady-tail files). ``quarantine_rules``
+    (functions/quality rule tuples over the feed envelope) splits
+    violating events to ``dead_letter_dir`` before each merge."""
     files = sorted(glob.glob(os.path.join(feed_dir, "feed-*.parquet")))[skip_files:]
     groups = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
     out = []
@@ -73,7 +100,14 @@ def replay_batches(
         if max_batches is not None and i >= max_batches:
             break
         batch = spark.read.schema(FEED_SCHEMA).parquet(*group)
-        m = merge_batch(spark, table, batch, batch_id=start_batch_id + i)
+        bid = start_batch_id + i
+        n_bad = 0
+        if quarantine_rules:
+            batch, n_bad = _apply_quarantine(
+                batch, quarantine_rules, dead_letter_dir, bid
+            )
+        m = merge_batch(spark, table, batch, batch_id=bid)
+        m["quarantined"] = n_bad
         _emit(table, m)
         out.append(m)
     return out
@@ -86,12 +120,16 @@ def replay_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     max_batches: int | None = None,
+    quarantine_rules: list | None = None,
+    dead_letter_dir: str | None = None,
 ) -> list[dict[str, Any]]:
     """Structured Streaming replay with checkpoint resume.
 
     ``max_batches`` stops the query after N microbatches (the kill/resume
     test); a later call with the same checkpoint continues from the next
     unprocessed file and converges to the same final state.
+    ``quarantine_rules`` gates each microbatch inside foreachBatch, same
+    contract as replay_batches.
     """
     metrics: list[dict[str, Any]] = []
     reader = spark.readStream.schema(FEED_SCHEMA)
@@ -100,7 +138,13 @@ def replay_stream(
     stream = reader.parquet(feed_dir)
 
     def apply(batch_df, batch_id: int) -> None:
+        n_bad = 0
+        if quarantine_rules:
+            batch_df, n_bad = _apply_quarantine(
+                batch_df, quarantine_rules, dead_letter_dir, batch_id
+            )
         m = merge_batch(spark, table, batch_df, batch_id)
+        m["quarantined"] = n_bad
         _emit(table, m)
         metrics.append(m)
 

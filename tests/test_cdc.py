@@ -618,3 +618,83 @@ def test_read_ts_range_zone_map_pruning(spark, tmp_path):
     n_all = len(set(table.read(spark).inputFiles()))
     n_pruned = len(set(got.inputFiles()))
     assert n_pruned < n_all, (n_pruned, n_all)
+
+
+def test_replay_with_quarantine_gates(spark, tmp_path):
+    """Malformed change events (null conv_id, bad op, negative turn) must
+    land in the dead letter instead of the table; the merged final state
+    must equal replaying only the clean events."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import FEED_SCHEMA, replay_batches
+
+    d = str(tmp_path)
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=20, max_turns=5, seed=4)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=600, n_convs=20, max_turns=5, n_files=2, seed=4
+    )
+    # corrupt a slice of the feed: null conv_id / bogus op / negative turn
+    files = sorted(_glob.glob(f"{d}/feed/feed-*.parquet"))
+    feed = spark.read.schema(FEED_SCHEMA).parquet(*files)
+    corrupted = feed.withColumn(
+        "conv_id",
+        F.when(F.col("event_seq") % 31 == 0, F.lit(None)).otherwise(F.col("conv_id")),
+    ).withColumn(
+        "op",
+        F.when(F.col("event_seq") % 37 == 0, F.lit("X")).otherwise(F.col("op")),
+    )
+    corrupted.coalesce(1).write.parquet(f"{d}/feedtmp")
+    corrupted = spark.read.schema(FEED_SCHEMA).parquet(f"{d}/feedtmp")
+    shutil.rmtree(f"{d}/feed")
+    import os as _os
+
+    _os.makedirs(f"{d}/feed")
+    shutil.copy(
+        _glob.glob(f"{d}/feedtmp/part-*.parquet")[0], f"{d}/feed/feed-0000.parquet"
+    )
+    corrupted = spark.read.schema(FEED_SCHEMA).parquet(f"{d}/feed")
+
+    rules = [
+        ("not_null", "conv_id"),
+        ("accepted_values", "op", ["I", "U", "D"]),
+    ]
+
+    def run(feed_dir, lake, **kw):
+        t = SnapshotLakeTable(lake, n_buckets=4)
+        bootstrap(spark, t, base)
+        ms = replay_batches(spark, t, feed_dir, files_per_batch=1, **kw)
+        return t, ms
+
+    t1, ms = run(f"{d}/feed", f"{d}/lake1",
+                 quarantine_rules=rules, dead_letter_dir=f"{d}/dead")
+    n_quarantined = sum(m["quarantined"] for m in ms)
+    assert n_quarantined > 0
+
+    dead = spark.read.parquet(f"{d}/dead")
+    assert dead.count() == n_quarantined
+    assert {r["_violated"] for r in dead.select("_violated").collect()} <= {
+        "not_null(conv_id)", "accepted_values(op)",
+        "not_null(conv_id);accepted_values(op)",
+    }
+
+    # equivalence: replaying the pre-cleaned feed with no gates gives the
+    # identical final table state
+    clean = corrupted.filter(
+        F.col("conv_id").isNotNull() & F.col("op").isin(["I", "U", "D"])
+    )
+    _os.makedirs(f"{d}/feedclean")
+    clean.coalesce(1).write.parquet(f"{d}/feedcleantmp")
+    shutil.move(
+        _glob.glob(f"{d}/feedcleantmp/part-*.parquet")[0],
+        f"{d}/feedclean/feed-0000.parquet",
+    )
+    t2, _ = run(f"{d}/feedclean", f"{d}/lake2")
+    a = sorted(map(tuple, t1.read(spark).collect()))
+    b = sorted(map(tuple, t2.read(spark).collect()))
+    assert a == b and len(a) > 0
