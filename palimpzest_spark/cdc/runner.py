@@ -184,7 +184,20 @@ def main() -> None:
                     help="0 = auto-size from the base table bytes "
                          "(lake.suggest_n_buckets, ~256MB/bucket)")
     ap.add_argument("--files-per-batch", type=int, default=4)
+    ap.add_argument("--quarantine-rules",
+                    help="JSON file of quality-rule tuples over the feed "
+                         "envelope, e.g. [[\"not_null\", \"conv_id\"], "
+                         "[\"accepted_values\", \"op\", [\"I\",\"U\",\"D\"]]]; "
+                         "violating events skip the merge")
+    ap.add_argument("--dead-letter",
+                    help="parquet dir receiving quarantined events "
+                         "(labeled with rule names + batch id)")
     args = ap.parse_args()
+
+    rules = None
+    if args.quarantine_rules:
+        with open(args.quarantine_rules) as f:
+            rules = [tuple(r) for r in json.load(f)]
 
     from palimpzest_spark.session import get_spark
 
@@ -203,13 +216,21 @@ def main() -> None:
         if args.stream:
             if not args.checkpoint:
                 ap.error("--stream requires --checkpoint")
-            ms = replay_stream(spark, table, args.feed, args.checkpoint)
+            ms = replay_stream(
+                spark, table, args.feed, args.checkpoint,
+                quarantine_rules=rules, dead_letter_dir=args.dead_letter,
+            )
         else:
-            ms = replay_batches(spark, table, args.feed, args.files_per_batch)
+            ms = replay_batches(
+                spark, table, args.feed, args.files_per_batch,
+                quarantine_rules=rules, dead_letter_dir=args.dead_letter,
+            )
         total = sum(m["events"] for m in ms)
         secs = sum(m["elapsed_sec"] for m in ms)
         out.update({"batches": len(ms), "events": total, "elapsed_sec": round(secs, 3),
                     "events_per_sec": round(total / secs, 1) if secs else None})
+        if rules:
+            out["quarantined"] = sum(m.get("quarantined", 0) for m in ms)
     elif not args.maintenance:
         ap.error("nothing to do: pass --feed and/or --maintenance")
     if args.maintenance in ("compact", "both"):
