@@ -67,15 +67,20 @@ def _fake_features(buf: bytes | None, dim: int) -> list[float]:
 
 
 def _png_features(buf: bytes, dim: int) -> list[float] | None:
-    """Real pixel-statistics embedding for PNG bytes: [w, h, ch, per-channel
-    mean/std, luma histogram] padded/truncated to ``dim``. None if not a
-    decodable PNG (caller falls back to the byte-hash stub)."""
+    """Real pixel-statistics embedding for PNG or baseline-JPEG bytes:
+    [w, h, ch, per-channel mean/std, luma histogram] padded/truncated to
+    ``dim``. None if neither codec can decode the bytes (caller falls back
+    to the byte-hash stub)."""
+    from palimpzest_spark.sources.jpeg_codec import decode_jpeg
     from palimpzest_spark.sources.png_lite import decode_png
 
     try:
         w, h, ch, px = decode_png(buf)
     except Exception:
-        return None
+        try:
+            w, h, ch, px = decode_jpeg(buf)
+        except Exception:
+            return None
     p = px.astype(np.float64)
     feats = [float(w), float(h), float(ch)]
     for c in range(ch):
@@ -117,7 +122,8 @@ def extract_features(
 ) -> DataFrame:
     """binary → feature vector via Arrow-batched ``mapInPandas``.
 
-    ``decode="image"``: REAL decode for PNG bytes (stdlib codec).
+    ``decode="image"``: REAL decode for PNG and baseline-JPEG bytes
+    (stdlib codecs).
     ``decode="audio"``: REAL decode for RIFF/PCM WAV bytes (stdlib codec) —
     rms / zero-crossings / coarse spectrum. Unrecognized bytes fall back to
     the deterministic byte-hash stub. ``decode="real"`` names the remaining
@@ -125,10 +131,11 @@ def extract_features(
     """
     if decode == "real":
         raise NotImplementedError(
-            "compressed audio / video decoding needs ffmpeg/librosa (absent "
-            "in this container); PNG images and PCM WAV audio decode for "
-            "real via decode='image' / decode='audio' (sources/png_lite.py, "
-            "sources/wav_lite.py)"
+            "perceptual audio (MP3/AAC) / video decoding needs "
+            "ffmpeg/librosa (absent in this container); PNG + baseline JPEG "
+            "images and PCM/ADPCM WAV audio decode for real via "
+            "decode='image' / decode='audio' (sources/png_lite.py, "
+            "sources/jpeg_codec.py, sources/wav_lite.py)"
         )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

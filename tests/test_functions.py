@@ -635,3 +635,46 @@ def test_quality_quarantine_split(spark):
     assert labels[(3, None)] == ["not_null(etype)"]
     assert labels[(4, "bogus")] == ["accepted_values(etype)"]
     assert labels[(5, "click")] == ["unique(id)"]
+
+
+def test_jpeg_codec_roundtrip_and_features():
+    """Baseline JPEG: mirror-encoder fixtures decode with high PSNR in
+    gray, 4:4:4, and 4:2:0 (chroma upsampling); image feature extraction
+    picks up JPEG bytes through the same real-decode path as PNG."""
+    import numpy as np
+
+    from palimpzest_spark.functions.multimodal import _png_features
+    from palimpzest_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    ww, hh, cc, out = decode_jpeg(encode_jpeg(gray))
+    assert (ww, hh, cc) == (w, h, 1)
+    assert psnr(gray, out[:, :, 0]) > 40
+
+    img = np.stack([
+        (128 + 100 * np.sin(xx / 9.0)).astype(np.uint8),
+        (128 + 100 * np.cos(yy / 7.0)).astype(np.uint8),
+        ((xx + yy) % 256).astype(np.uint8),
+    ], axis=2)
+    for sub, floor in ((False, 35), (True, 30)):
+        ww, hh, cc, out = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert (ww, hh, cc) == (w, h, 3)
+        assert psnr(img, out) > floor, (sub, psnr(img, out))
+
+    # progressive JPEGs raise with the variant named
+    import pytest as _pytest
+
+    raw = bytearray(encode_jpeg(gray))
+    sof = raw.index(b"\xff\xc0")
+    raw[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(raw))
+
+    feats = _png_features(encode_jpeg(img), dim=16)
+    assert feats is not None and feats[0] == w and feats[1] == h and feats[2] == 3
