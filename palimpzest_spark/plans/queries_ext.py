@@ -1056,23 +1056,31 @@ def sem_topk_attach(spark, sf_dir):
 
 @_q("multimodal_features")  # rows-only: pixel statistics are engine-internal
 def multimodal_features(spark, sf_dir):
-    """REAL image decode: deterministic PNGs (stdlib codec, seeded by
-    asset id) → IHDR metadata + pixel-statistics features. The r1 version fed
-    text bytes to a hash stub; this exercises decode_png end-to-end."""
+    """REAL image decode: deterministic PNGs AND baseline JPEGs (stdlib
+    codecs, seeded by asset id) → header metadata + pixel-statistics
+    features. The r1 version fed text bytes to a hash stub; this exercises
+    decode_png and decode_jpeg end-to-end on alternating assets."""
     import numpy as np
 
+    from palimpzest_spark.sources.jpeg_codec import encode_jpeg
     from palimpzest_spark.sources.png_lite import encode_png
 
-    pngs = []
+    assets_raw = []
     for i in range(32):
         rng = np.random.default_rng(1000 + i)
         w, h = 4 + i % 5, 3 + i % 4
-        pngs.append((i, encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))))
-    assets = spark.createDataFrame(pngs, "asset_id long, content binary").select(
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if i % 2:
+            assets_raw.append((i, encode_jpeg(px), "jpeg"))
+        else:
+            assets_raw.append((i, encode_png(px), "png"))
+    assets = spark.createDataFrame(
+        assets_raw, "asset_id long, content binary, mime string"
+    ).select(
         "asset_id",
         F.lit("image").alias("modality"),
         "content",
-        F.lit("png").alias("mime"),
+        "mime",
         F.lit(None).cast("long").alias("duration_ms"),
     )
     with_meta = multimodal.image_metadata(assets)
