@@ -98,6 +98,9 @@ def ngram_jaccard_pairs(
         word_shingles(text_col, n).alias("grams"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     ).withColumn("sz", F.size("grams"))
+    # the gram arrays feed three consumers (prefix ranking + both verify
+    # sides); without a persist the shingling recomputes per consumer
+    base = base.persist()
 
     tok = base.select("id", "sz", F.explode("grams").alias("g"),
                       *(["blk"] if block_col else []))
