@@ -79,27 +79,35 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    def checksum(lbl: DataFrame):
+        # order-insensitive fixpoint detector: one narrow aggregate instead
+        # of a per-round labels-join (labels only ever DECREASE, so an
+        # unchanged checksum means an unchanged assignment); decimal
+        # accumulator because a long sum of hashes overflows under ANSI
+        return lbl.agg(
+            F.sum(
+                F.xxhash64(F.col("node").cast("string"), F.col("component").cast("string"))
+                .cast("decimal(38,0)")
+            )
+        ).first()[0]
+
+    prev = checksum(labels)
     for _ in range(max_iter):
         # Neighbor messages: each node hears its neighbors' current labels.
         msgs = sym.join(
             labels.withColumnRenamed("node", "s"), "s"
         ).select(F.col("d").alias("node"), "component")
-        new_labels = (
+        labels = (
             msgs.unionByName(labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur = checksum(labels)
+        if cur == prev:
             sym.unpersist()
             return labels
+        prev = cur
     sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
