@@ -358,6 +358,50 @@ class Dataset:
         ).drop(output_field)
         return self._wrap(exploded)
 
+    # -- training-data combinators (engine extensions; no reference
+    #    analogue — the fluent face of functions/dedup, graph, packing,
+    #    retrieval, sampling) ------------------------------------------------
+
+    def dedup_exact(self) -> "Dataset":
+        """Exact dedup: keep the min-id doc per normalized text."""
+        from palimpzest_spark.functions.dedup import exact_dedup
+
+        return self._wrap(exact_dedup(self.df))
+
+    def dedup_near(
+        self, threshold: float = 0.8, n: int = 3,
+        text_col: str = "text", id_col: str = "doc_id",
+    ) -> "Dataset":
+        """Near-dedup: exact n-gram-Jaccard pairs → connected components →
+        keep one canonical doc per cluster."""
+        from palimpzest_spark.functions.dedup import ngram_jaccard_pairs
+        from palimpzest_spark.functions.graph import drop_near_duplicates
+
+        pairs = ngram_jaccard_pairs(
+            self.df, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+        )
+        return self._wrap(drop_near_duplicates(self.df, pairs, id_col=id_col))
+
+    def pack(
+        self, budget: int, token_col: str, id_col: str = "doc_id", **kw
+    ) -> "Dataset":
+        """FFD sequence packing into token-budget bins."""
+        from palimpzest_spark.functions.packing import pack_sequences
+
+        return self._wrap(pack_sequences(self.df, id_col, token_col, budget, **kw))
+
+    def search(self, terms: list[str], k: int = 10, **kw) -> "Dataset":
+        """BM25 lexical top-k over the corpus."""
+        from palimpzest_spark.functions.retrieval import bm25_topk
+
+        return self._wrap(bm25_topk(self.df, terms, k=k, **kw))
+
+    def sample_fraction(self, fraction: float, id_col: str = "doc_id") -> "Dataset":
+        """Deterministic hash-Bernoulli sample (partitioning-invariant)."""
+        from palimpzest_spark.functions.sampling import bernoulli_sample
+
+        return self._wrap(bernoulli_sample(self.df, id_col, fraction))
+
     # -- execution -----------------------------------------------------------
 
     def run(self) -> pd.DataFrame:

@@ -17,17 +17,17 @@ edges-with-labels join + the min aggregate are both map-side combinable),
 so the cost is O(iterations x shuffle(|E|)) and the iteration count is
 bounded by the cluster *diameter* — for near-dup clusters (dense blobs of
 mutually-similar docs, typically diameter <= 3) this converges in a
-handful of rounds. ``max_iter`` guards pathological chains; the
-large-star/small-star family (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) would give O(log n) rounds for adversarial
-topologies and slots into the same interface if ever needed.
+handful of rounds. For adversarial topologies (long chains, giant sparse
+components) ``algorithm="star"`` switches to alternating
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14): O(log n) rounds on any shape.
 
 Scale notes (100 TB / 1000-executor):
 - only (node, label) pairs ever shuffle — never document payloads;
 - per-round ``localCheckpoint`` truncates the logical plan, preventing the
   Catalyst lineage blow-up every naive iterative-DataFrame loop hits;
-- convergence is detected with a single count aggregate per round (the
-  standard driver-side fixpoint test — O(1) result, not a collect of data).
+- convergence is one narrow hash-sum aggregate per round (O(1) driver
+  result, not a collect of data).
 """
 
 from __future__ import annotations

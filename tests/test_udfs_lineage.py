@@ -473,3 +473,32 @@ def test_dataset_api_aliases_and_relax(spark):
     relaxed = ds.relax_types()
     types = dict(relaxed.df.dtypes)
     assert types == {"a": "bigint", "b": "double"}
+
+
+def test_dataset_training_combinators(spark):
+    """The fluent Dataset face of the training-data ops delegates to the
+    function library with identical results."""
+    from palimpzest_spark.dataset import Dataset
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "the quick brown fox jumps over a lazy dog today"),  # near dup
+        (4, "completely different text about spark joins and shuffles"),
+    ]
+    ds = Dataset(spark.createDataFrame(rows, ["doc_id", "text"]))
+
+    assert sorted(r["doc_id"] for r in ds.dedup_exact().df.collect()) == [1, 3, 4]
+    # jaccard(1,3) = 4/11 ~ 0.36, so 0.3 links {1,2,3} into one cluster
+    near = sorted(r["doc_id"] for r in ds.dedup_near(threshold=0.3).df.collect())
+    assert near == [1, 4]
+    top = ds.search(["spark", "joins"], k=2).df.collect()
+    assert top[0]["doc_id"] == 4
+
+    from pyspark.sql import functions as F
+
+    toks = ds.df.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
+    packed = Dataset(toks).pack(budget=25, token_col="n").df
+    assert packed.count() == 4
+    frac = Dataset(toks).sample_fraction(0.99).df
+    assert 0 < frac.count() <= 4
