@@ -102,3 +102,53 @@ def test_lww_replay_final_state_independent_of_batch_split(
     one = run(5)  # all files in one batch
     other = run(split)
     pd.testing.assert_frame_equal(one.reset_index(drop=True), other.reset_index(drop=True))
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000), frac=st.floats(0.1, 0.9))
+def test_ts_range_read_equals_full_filter(spark, tmp_path_factory, seed, frac):
+    """Zone-map pruned time-range reads must equal the unpruned filter for
+    arbitrary replay seeds and range widths, before and after a forced
+    ts-sorted rewrite."""
+    import datetime
+
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = str(tmp_path_factory.mktemp("zm"))
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=15, max_turns=5, seed=seed)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=400, n_convs=15, max_turns=5, n_files=2, seed=seed
+    )
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=4)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=1)
+
+    full = table.read(spark)
+    lo, hi = full.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        return
+    us = datetime.timedelta(microseconds=1)
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=lo.tzinfo)
+    lo_us = (lo - epoch) // us
+    hi_us = lo_us + int(((hi - epoch) // us - lo_us) * frac)
+
+    def check():
+        got = sorted(map(tuple, table.read_ts_range(spark, lo_us, hi_us).collect()))
+        want = sorted(
+            map(
+                tuple,
+                full.filter(
+                    (F.col("ts") >= F.timestamp_micros(F.lit(lo_us)))
+                    & (F.col("ts") <= F.timestamp_micros(F.lit(hi_us)))
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    check()
+    table.compact(spark, buckets=list(range(4)))
+    check()
