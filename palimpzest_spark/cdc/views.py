@@ -1,0 +1,100 @@
+"""Incrementally-maintained materialized views over the CDC lake table.
+
+The standard downstream pattern: a denormalized per-conversation rollup
+(turn counts, last activity, role mix) kept current as batches merge,
+WITHOUT rescanning the whole table. Maintenance is driven by the lake's
+change-data-feed (``timetravel.table_changes``): the CDF names exactly the
+conversations whose rows changed between two snapshots, those
+conversations' aggregates are recomputed from their (bucket-pruned) live
+rows, and the results upsert into the view. Per-refresh cost is
+O(changed conversations), not O(table) — the same amortization argument
+as the merge itself, so the view keeps up at 10^10-row scale.
+
+The view itself is a tiny :class:`SnapshotLakeTable`-independent parquet
+directory keyed by conv_id with last-refresh bookkeeping (the source
+snapshot version it reflects), so refreshes are idempotent and resumable:
+re-running a refresh for the same version span rewrites the same rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palimpzest_spark.cdc.lake import SnapshotLakeTable
+from palimpzest_spark.cdc.timetravel import table_changes
+
+
+def _rollup(rows: DataFrame) -> DataFrame:
+    """Per-conversation aggregate over live transcript rows."""
+    return rows.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.max("ts").alias("last_ts"),
+        F.sort_array(F.collect_set("role")).alias("roles"),
+    )
+
+
+class ConversationRollupView:
+    """Materialized per-conversation rollup with CDF-driven refresh."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._meta = os.path.join(path, "_view_meta.json")
+
+    def reflected_version(self) -> int:
+        if not os.path.exists(self._meta):
+            return 0
+        with open(self._meta) as f:
+            return json.load(f)["version"]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "data"))
+
+    def full_build(self, spark: SparkSession, table: SnapshotLakeTable) -> int:
+        """Initial materialization: one full scan (bootstrap only)."""
+        v = table.current_version()
+        out = _rollup(table.read(spark))
+        out.write.mode("overwrite").parquet(os.path.join(self.path, "data"))
+        with open(self._meta, "w") as f:
+            json.dump({"version": v}, f)
+        return v
+
+    def refresh(self, spark: SparkSession, table: SnapshotLakeTable) -> dict:
+        """Incremental refresh to the table's current snapshot.
+
+        1. CDF between the reflected and current versions names the
+           changed conversations (net row-level insert/update/delete).
+        2. ONLY those conversations' live rows are re-read — via the
+           bucket-pruned point-lookup path — and re-aggregated.
+        3. The view upserts: unchanged conversations carry forward,
+           changed ones are replaced, fully-deleted ones drop out.
+        Idempotent: re-running the same span recomputes the same rows.
+        """
+        v_from = self.reflected_version()
+        v_to = table.current_version()
+        if v_to <= v_from:
+            return {"refreshed": False, "version": v_from, "changed_convs": 0}
+        changes = table_changes(table, spark, v_from, v_to)
+        changed = [r["conv_id"] for r in changes.select("conv_id").distinct().collect()]
+        if not changed:
+            with open(self._meta, "w") as f:
+                json.dump({"version": v_to}, f)
+            return {"refreshed": True, "version": v_to, "changed_convs": 0}
+
+        fresh = _rollup(table.read_conv(spark, changed))
+        old = self.read(spark).filter(~F.col("conv_id").isin(changed))
+        out = old.unionByName(fresh)
+        tmp = os.path.join(self.path, "data_next")
+        out.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(self.path, "data")
+        import shutil
+
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        with open(self._meta, "w") as f:
+            json.dump({"version": v_to}, f)
+        return {"refreshed": True, "version": v_to, "changed_convs": len(changed)}

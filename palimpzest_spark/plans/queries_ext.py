@@ -3149,3 +3149,60 @@ def quality_audit_events(spark, sf_dir):
         ("unique", ["event_id"]),
     ]
     return audit_rules(feed, rules).orderBy(F.lit(1))
+
+
+@_q(
+    "cdc_rollup_view_incremental",
+    oracle="""
+WITH feed AS ({feed}),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, event_seq DESC
+         ) AS rn, op
+  FROM feed
+),
+state AS (
+  SELECT conv_id, turn_idx, role, ts FROM ranked WHERE rn = 1 AND op <> 'D'
+  UNION ALL
+  SELECT cast(user_id AS varchar) AS conv_id, cast(-1 AS bigint) AS turn_idx,
+         'seed' AS role, min(ts) AS ts
+  FROM events GROUP BY user_id
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       max(turn_idx) AS max_turn_idx,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       array_to_string(list(DISTINCT role ORDER BY role), ',') AS roles
+FROM state GROUP BY conv_id
+ORDER BY conv_id
+""".format(feed=_LWW_FEED_SQL.format(tool_expr="")),
+)
+def cdc_rollup_view_incremental(spark, sf_dir):
+    """ORACLE-CHECKED incrementally-maintained materialized view
+    (cdc/views.ConversationRollupView): full-build after the first half of
+    the replay, then merge the remaining batches and CDF-driven refresh —
+    only the changed conversations are recomputed (via the bucket-pruned
+    point-lookup path) and upserted. The refreshed view must hash-equal
+    DuckDB's from-scratch rollup of the LWW-final state: a stale, dropped,
+    or over-refreshed conversation changes the hash."""
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+    from palimpzest_spark.cdc.views import ConversationRollupView
+
+    d = _events_change_feed(spark, sf_dir, with_tool=False, with_ts=True)
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=8)
+    bootstrap(spark, table, f"{d}/base")
+    replay_batches(spark, table, d, files_per_batch=1, max_batches=2)
+    view = ConversationRollupView(f"{d}/view")
+    view.full_build(spark, table)
+    replay_batches(spark, table, d, files_per_batch=1, skip_files=2, start_batch_id=2)
+    view.refresh(spark, table)
+    return view.read(spark).select(
+        "conv_id",
+        "n_turns",
+        "max_turn_idx",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.array_join("roles", ",").alias("roles"),
+    ).orderBy("conv_id")

@@ -235,3 +235,44 @@ def test_table_changes_emits_deletes_when_bucket_emptied(spark, tt):
     ch = table_changes(table, spark, v_from, v_to).toPandas()
     assert set(ch["_change_type"]) == {"delete"}
     assert len(ch) == live_in_bucket, "every live row in the emptied bucket must be a delete"
+
+
+def test_conversation_rollup_view_incremental_refresh(spark, tmp_path):
+    """CDF-driven view maintenance: after more batches merge, refresh()
+    recomputes ONLY the changed conversations and the view equals a full
+    rollup of the final table; refresh is idempotent."""
+    from pyspark.sql import functions as F
+
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+    from palimpzest_spark.cdc.views import ConversationRollupView, _rollup
+
+    d = str(tmp_path)
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=30, max_turns=6, seed=13)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=800, n_convs=30, max_turns=6, n_files=4, seed=13
+    )
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=4)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=1, max_batches=2)
+
+    view = ConversationRollupView(f"{d}/view")
+    view.full_build(spark, table)
+
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=1,
+                   skip_files=2, start_batch_id=2)
+    m = view.refresh(spark, table)
+    assert m["refreshed"] and 0 < m["changed_convs"] <= 30
+
+    got = sorted(map(tuple, view.read(spark).collect()))
+    want = sorted(map(tuple, _rollup(table.read(spark)).collect()))
+    assert got == want and len(got) > 0
+
+    # idempotent: nothing new to reflect
+    m2 = view.refresh(spark, table)
+    assert not m2["refreshed"]
+
+    # stays correct through another batchless refresh + re-read
+    assert sorted(map(tuple, view.read(spark).collect())) == got
