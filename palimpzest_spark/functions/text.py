@@ -18,6 +18,7 @@ Dialect divergences handled by explicit ``__TOKEN__`` replacement (never
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -232,3 +233,29 @@ def repetition_stats(
         r4(F.col("_dup_lines").cast("double") / F.col("n_lines")).alias("dup_line_frac"),
         r4(F.col("_dup_chars").cast("double") / F.col("_chars")).alias("dup_line_char_frac"),
     )
+
+
+def normalize_text(df, text_col: str = "text", out_col: str = "text_norm"):
+    """Vectorized corpus text normalization (the north rule's 'payload
+    decode, text normalization ... as vectorized pandas/Arrow UDFs'):
+    Unicode NFC composition, control-character strip (C0/C1 except tab and
+    newline, which the whitespace collapse handles), whitespace-run
+    collapse, edge trim. NFC runs in an Arrow-batched pandas UDF (Spark SQL
+    has no normalization builtin); the rest stays JVM-side."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def nfc(sr: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return sr.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    cleaned = F.regexp_replace(
+        nfc(F.col(text_col)),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]",
+        "",
+    )
+    collapsed = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    return df.withColumn(out_col, collapsed)

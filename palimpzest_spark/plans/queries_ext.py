@@ -3206,3 +3206,54 @@ def cdc_rollup_view_incremental(spark, sf_dir):
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
         F.array_join("roles", ",").alias("roles"),
     ).orderBy("conv_id")
+
+
+@_q(
+    "text_normalize_docs",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' e' || chr(769) || ' ' || chr(7) || 'x'
+              || chr(9) || chr(9) || 'y  z ' AS text
+  FROM documents WHERE doc_id % 6 = 0
+)
+SELECT doc_id,
+       substring(md5(trim(regexp_replace(
+         regexp_replace(nfc_normalize(text),
+                        '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g'),
+         '\\s+', ' ', 'g'))), 1, 12) AS norm_sig,
+       length(trim(regexp_replace(
+         regexp_replace(nfc_normalize(text),
+                        '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g'),
+         '\\s+', ' ', 'g'))) AS norm_len
+FROM planted
+ORDER BY doc_id
+""",
+)
+def text_normalize_docs(spark, sf_dir):
+    """ORACLE-CHECKED text normalization (functions/text.normalize_text):
+    combining-sequence NFC composition, C0/C1 control strip, whitespace
+    collapse. The corpus is ASCII-clean, so each doc gets a planted suffix
+    with a decomposed accent (e + U+0301), a BEL control, tab runs, and
+    trailing blanks; DuckDB recomputes the normalized text's md5 signature
+    and length with nfc_normalize + the same regex pipeline — a divergent
+    Unicode table or regex class changes the hash."""
+    from palimpzest_spark.functions.text import normalize_text
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" e\u0301 \u0007x\t\ty  z "),
+            ).alias("text"),
+        )
+    )
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.substring(F.md5("text_norm"), 1, 12).alias("norm_sig"),
+        F.length("text_norm").alias("norm_len"),
+    ).orderBy("doc_id")
