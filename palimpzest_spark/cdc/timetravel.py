@@ -236,3 +236,36 @@ def expire_snapshots(
         "skipped_in_grace": skipped_in_grace,
         "retained_versions": sorted(keep),
     }
+
+
+def export_snapshot(
+    table: "SnapshotLakeTable", dest_root: str, version: int | None = None
+) -> dict:
+    """Copy one consistent snapshot (manifest + exactly its referenced
+    files) to ``dest_root`` as a standalone single-snapshot table — the
+    backup/clone primitive (Iceberg: snapshot expiry-safe table copy).
+    The export is readable by :class:`SnapshotLakeTable` as version 1 and
+    is immune to ``expire_snapshots`` on the source. Returns counts."""
+    import json
+    import os
+    import shutil
+
+    snap = table.snapshot(version)
+    v = snap.get("version") or version or table.current_version()
+    os.makedirs(os.path.join(dest_root, "metadata"), exist_ok=True)
+    copied = 0
+    for section in ("files", "deltas"):
+        for rels in snap.get(section, {}).values():
+            for rel in rels:
+                src = os.path.join(table.root, rel)
+                dst = os.path.join(dest_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(src, dst)
+                copied += 1
+    out = dict(snap)
+    out["version"] = 1
+    with open(os.path.join(dest_root, "metadata", "v1.json"), "w") as f:
+        json.dump(out, f)
+    with open(os.path.join(dest_root, "metadata", "version-hint.txt"), "w") as f:
+        f.write("1")
+    return {"source_version": v, "files_copied": copied}

@@ -276,3 +276,38 @@ def test_conversation_rollup_view_incremental_refresh(spark, tmp_path):
 
     # stays correct through another batchless refresh + re-read
     assert sorted(map(tuple, view.read(spark).collect())) == got
+
+
+def test_export_snapshot_survives_source_expiry(spark, tmp_path):
+    """export_snapshot clones one consistent version as a standalone
+    table; the clone reads identically and survives expiring (GC-ing) the
+    source's old snapshots and files."""
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.runner import replay_batches
+    from palimpzest_spark.cdc.timetravel import expire_snapshots, export_snapshot
+
+    d = str(tmp_path)
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=20, max_turns=5, seed=21)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=400, n_convs=20, max_turns=5, n_files=4, seed=21
+    )
+    table = SnapshotLakeTable(f"{d}/lake", n_buckets=4)
+    bootstrap(spark, table, base)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=1, max_batches=2)
+    v_mid = table.current_version()
+    want = sorted(map(tuple, table.read(spark).collect()))
+
+    m = export_snapshot(table, f"{d}/backup", version=v_mid)
+    assert m["files_copied"] > 0 and m["source_version"] == v_mid
+
+    # keep replaying + expire everything old on the source (grace 0)
+    replay_batches(spark, table, f"{d}/feed", files_per_batch=1,
+                   skip_files=2, start_batch_id=2)
+    expire_snapshots(table, keep_last=1, grace_seconds=0.0)
+
+    clone = SnapshotLakeTable(f"{d}/backup", n_buckets=4)
+    assert clone.current_version() == 1
+    got = sorted(map(tuple, clone.read(spark).collect()))
+    assert got == want and len(got) > 0
