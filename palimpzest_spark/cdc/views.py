@@ -68,10 +68,14 @@ class ConversationRollupView:
 
         1. CDF between the reflected and current versions names the
            changed conversations (net row-level insert/update/delete).
-        2. ONLY those conversations' live rows are re-read — via the
-           bucket-pruned point-lookup path — and re-aggregated.
-        3. The view upserts: unchanged conversations carry forward,
-           changed ones are replaced, fully-deleted ones drop out.
+        2. ONLY those conversations' live rows are re-read — their hash
+           buckets' files (file pruning) semi-joined against the changed
+           set, which stays distributed end to end: nothing but bucket
+           ints is ever collected, so a batch touching millions of
+           conversations still refreshes without a driver-side list.
+        3. The view upserts via anti-join + union: unchanged conversations
+           carry forward, changed ones are replaced, fully-deleted ones
+           drop out.
         Idempotent: re-running the same span recomputes the same rows.
         """
         v_from = self.reflected_version()
@@ -79,14 +83,36 @@ class ConversationRollupView:
         if v_to <= v_from:
             return {"refreshed": False, "version": v_from, "changed_convs": 0}
         changes = table_changes(table, spark, v_from, v_to)
-        changed = [r["conv_id"] for r in changes.select("conv_id").distinct().collect()]
-        if not changed:
+        changed = changes.select("conv_id").distinct().persist()
+        n_changed = changed.count()
+        if not n_changed:
+            changed.unpersist()
             with open(self._meta, "w") as f:
                 json.dump({"version": v_to}, f)
             return {"refreshed": True, "version": v_to, "changed_convs": 0}
 
-        fresh = _rollup(table.read_conv(spark, changed))
-        old = self.read(spark).filter(~F.col("conv_id").isin(changed))
+        # Only BUCKET ids reach the driver (bounded by n_buckets); the
+        # changed-conversation set itself stays distributed — a batch can
+        # touch millions of conversations and nothing but their buckets'
+        # files is scanned, nothing but bucket ints is collected.
+        buckets = sorted(
+            r["b"]
+            for r in changed.select(
+                F.pmod(F.xxhash64("conv_id"), F.lit(table.n_buckets))
+                .cast("int")
+                .alias("b")
+            ).distinct().collect()
+        )
+        from palimpzest_spark.cdc.lake import META_COLS, lww_fold
+
+        raw = table.read_raw(spark, buckets=buckets)
+        live = lww_fold(raw).filter(~F.col("_deleted")) if raw is not None else None
+        if live is None:
+            fresh = self.read(spark).limit(0)
+        else:
+            public = [c for c in live.columns if c not in META_COLS]
+            fresh = _rollup(live.select(*public).join(changed, "conv_id", "left_semi"))
+        old = self.read(spark).join(changed, "conv_id", "left_anti")
         out = old.unionByName(fresh)
         tmp = os.path.join(self.path, "data_next")
         out.write.mode("overwrite").parquet(tmp)
@@ -95,6 +121,7 @@ class ConversationRollupView:
 
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+        changed.unpersist()
         with open(self._meta, "w") as f:
             json.dump({"version": v_to}, f)
-        return {"refreshed": True, "version": v_to, "changed_convs": len(changed)}
+        return {"refreshed": True, "version": v_to, "changed_convs": n_changed}
