@@ -10,11 +10,15 @@ PDFs: page content streams that are uncompressed or FlateDecode-compressed
 - ``Td / TD / T* / ET``                 — line moves → newline
 
 String escapes ``\\( \\) \\\\ \\n \\r \\t`` and 3-digit octal are decoded;
-hex strings ``<48656c6c6f> Tj`` are supported. Out of scope (returns what it
-can): CMap/Identity-encoded fonts (TJ bytes are not char codes), object
-streams (``/ObjStm``), encryption. ``make_simple_pdf`` writes a small
-spec-shaped PDF (xref table, Flate-compressed content streams) so tests
-exercise the extractor against the real format.
+hex strings ``<48656c6c6f> Tj`` are supported. CID/Identity-H fonts are
+handled through their ``/ToUnicode`` CMaps: ``bfchar``/``bfrange`` mappings
+(both the increment and array forms) are parsed from every CMap stream and
+2-byte hex-string codes decode through them — the way modern generators
+(Chrome print-to-PDF, LaTeX+fontspec, wkhtmltopdf) emit text. Out of scope
+(returns what it can): encrypted documents, fonts with neither simple
+encodings nor ToUnicode. ``make_simple_pdf`` writes a small spec-shaped PDF
+(xref table, Flate-compressed content streams) so tests exercise the
+extractor against the real format.
 """
 
 from __future__ import annotations
@@ -72,19 +76,80 @@ def _decode_hex_string(raw: bytes) -> str:
     return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
 
-def _content_text(stream: bytes) -> str:
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[(?:\s*<[0-9A-Fa-f]+>)+\s*\]|<[0-9A-Fa-f]+>)"
+)
+
+
+def _utf16be(hexs: bytes) -> str:
+    h = hexs.decode("ascii")
+    if len(h) % 4:
+        h = h.zfill((len(h) + 3) // 4 * 4)
+    return bytes.fromhex(h).decode("utf-16-be", "replace")
+
+
+def parse_tounicode_cmap(body: bytes) -> dict[int, str]:
+    """ToUnicode CMap (T.81's companion spec, Adobe CMap syntax) ->
+    {2-byte code: unicode string}: bfchar pairs plus bfrange in both the
+    incrementing (<lo> <hi> <dstStart>) and array ([<d1> <d2> ...]) forms."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(body):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _utf16be(dst)
+    for m in _BFRANGE_RE.finditer(body):
+        for lo_h, hi_h, dst in _BFRANGE_ITEM_RE.findall(m.group(1)):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if dst.startswith(b"["):
+                items = _HEXTOK_RE.findall(dst)
+                for i, code in enumerate(range(lo, hi + 1)):
+                    if i < len(items):
+                        cmap[code] = _utf16be(items[i])
+            else:
+                base_h = dst[1:-1]
+                width = len(base_h)
+                base = int(base_h, 16)
+                for i, code in enumerate(range(lo, hi + 1)):
+                    inc = format(base + i, f"0{width}x").encode()
+                    cmap[code] = _utf16be(inc)
+    return cmap
+
+
+def _decode_hex_cid(raw: bytes, cmap: dict[int, str]) -> str:
+    """Hex string of 2-byte CID codes -> text via the ToUnicode map;
+    unmapped codes fall back to the code point itself (best effort)."""
+    h = re.sub(rb"\s", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    data = bytes.fromhex(h.decode("ascii"))
+    if len(data) % 2:
+        data += b"\x00"
+    out = []
+    for i in range(0, len(data), 2):
+        code = (data[i] << 8) | data[i + 1]
+        out.append(cmap.get(code, chr(code)))
+    return "".join(out)
+
+
+def _content_text(stream: bytes, cmap: dict[int, str] | None = None) -> str:
     parts: list[str] = []
     for m in _TEXT_SHOW_RE.finditer(stream):
+        def hexdec(raw: bytes) -> str:
+            return _decode_hex_cid(raw, cmap) if cmap else _decode_hex_string(raw)
+
         if m.group("str") is not None:
             parts.append(_decode_pdf_string(m.group("str")[1:-1]))
         elif m.group("hex") is not None:
-            parts.append(_decode_hex_string(m.group("hex")[1:-1]))
+            parts.append(hexdec(m.group("hex")[1:-1]))
         elif m.group("arr") is not None:
             chunk = []
             for sm in _ARR_STR_RE.finditer(m.group("arr")):
                 s = sm.group(0)
                 chunk.append(
-                    _decode_pdf_string(s[1:-1]) if s[:1] == b"(" else _decode_hex_string(s[1:-1])
+                    _decode_pdf_string(s[1:-1]) if s[:1] == b"(" else hexdec(s[1:-1])
                 )
             parts.append("".join(chunk))
         else:  # line move
@@ -97,8 +162,11 @@ def _content_text(stream: bytes) -> str:
 def extract_pdf_text(data: bytes) -> str:
     """All text drawn by the document's content streams, page order =
     stream order. Non-Flate filters are skipped (their text is not
-    recoverable without the codec); malformed streams are skipped."""
-    out: list[str] = []
+    recoverable without the codec); malformed streams are skipped. A first
+    pass collects every ToUnicode CMap; hex-string codes then decode
+    through the merged map (per-font maps rarely collide in practice — the
+    text-mining tradeoff, noted here)."""
+    bodies: list[bytes] = []
     pos = 0
     while True:
         m = _STREAM_RE.search(data, pos)
@@ -118,8 +186,17 @@ def extract_pdf_text(data: bytes) -> str:
                 continue
         elif b"/Filter" in params:
             continue  # unsupported codec (DCT, LZW, ...)
+        bodies.append(body)
+
+    cmap: dict[int, str] = {}
+    for body in bodies:
+        if b"beginbfchar" in body or b"beginbfrange" in body:
+            cmap.update(parse_tounicode_cmap(body))
+
+    out: list[str] = []
+    for body in bodies:
         if b"Tj" in body or b"TJ" in body or b"'" in body:
-            t = _content_text(body)
+            t = _content_text(body, cmap or None)
             if t:
                 out.append(t)
     return "\n\n".join(out)

@@ -678,3 +678,46 @@ def test_jpeg_codec_roundtrip_and_features():
 
     feats = _png_features(encode_jpeg(img), dim=16)
     assert feats is not None and feats[0] == w and feats[1] == h and feats[2] == 3
+
+
+def test_pdf_tounicode_cid_extraction():
+    """A CID/Identity-H-style PDF (hex-string 2-byte codes + a ToUnicode
+    CMap with bfchar AND both bfrange forms) must extract the mapped
+    unicode text; the legacy latin-1 path stays intact."""
+    import zlib
+
+    from palimpzest_spark.sources.pdf_lite import extract_pdf_text, make_simple_pdf
+
+    # codes: 0x0001->'H', 0x0002..0x0004 -> 'e','f','g' (increment range),
+    # 0x0010..0x0011 -> 'é','✓' (array range)
+    cmap = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfchar
+<0001> <0048>
+endbfchar
+2 beginbfrange
+<0002> <0004> <0065>
+<0010> <0011> [<00E9> <2713>]
+endbfrange
+endcmap
+"""
+    content = b"BT <0001000200030004> Tj T* [<0010> <0011>] TJ ET"
+    z = zlib.compress(content)
+    zc = zlib.compress(cmap)
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj << /Length " + str(len(z)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + z + b"\nendstream\nendobj\n"
+        b"2 0 obj << /Length " + str(len(zc)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + zc + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    text = extract_pdf_text(pdf)
+    assert "Hefg" in text
+    assert "é✓" in text
+
+    # simple latin-1 documents still extract unchanged
+    simple = make_simple_pdf(["Hello world", "Second page"])
+    t2 = extract_pdf_text(simple)
+    assert "Hello world" in t2 and "Second page" in t2
