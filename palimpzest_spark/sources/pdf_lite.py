@@ -159,6 +159,42 @@ def _content_text(stream: bytes, cmap: dict[int, str] | None = None) -> str:
     return re.sub(r"\n{2,}", "\n", text).strip()
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000 7.4.4 — the TIFF variant with EarlyChange):
+    variable 9-12 bit codes MSB-first, 256 = clear table, 257 = EOD."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = n = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        n += 8
+        while n >= width:
+            code = (acc >> (n - width)) & ((1 << width) - 1)
+            n -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def extract_pdf_text(data: bytes) -> str:
     """All text drawn by the document's content streams, page order =
     stream order. Non-Flate filters are skipped (their text is not
@@ -184,8 +220,13 @@ def extract_pdf_text(data: bytes) -> str:
                 body = zlib.decompress(body)
             except zlib.error:
                 continue
+        elif b"/LZWDecode" in params:
+            try:
+                body = _lzw_decode(body)
+            except (IndexError, ValueError):
+                continue
         elif b"/Filter" in params:
-            continue  # unsupported codec (DCT, LZW, ...)
+            continue  # unsupported codec (DCT, CCITT, JBIG2 — image data)
         bodies.append(body)
 
     cmap: dict[int, str] = {}

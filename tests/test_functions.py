@@ -721,3 +721,73 @@ endcmap
     simple = make_simple_pdf(["Hello world", "Second page"])
     t2 = extract_pdf_text(simple)
     assert "Hello world" in t2 and "Second page" in t2
+
+
+def test_pdf_lzw_decode_stream():
+    """LZWDecode streams (older generators) extract like Flate ones; the
+    test LZW-compresses with a mirror encoder implementing the same
+    EarlyChange variant."""
+    from palimpzest_spark.sources.pdf_lite import _lzw_decode, extract_pdf_text
+
+    def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        out = []
+        bits = []
+
+        def emit(code):
+            bits.append((code, width))
+
+        emit(256)  # clear
+        w = b""
+        for b in data:
+            c = bytes([b])
+            if w + c in table:
+                w += c
+            else:
+                emit(table[w])
+                table[w + c] = next_code
+                next_code += 1
+                if next_code + early_change - 1 >= (1 << width):
+                    if width < 12:
+                        width += 1
+                    else:
+                        # table full: spec requires a Clear before overflow
+                        emit(256)
+                        table = {bytes([i]): i for i in range(256)}
+                        next_code = 258
+                        width = 9
+                w = c
+        if w:
+            emit(table[w])
+        emit(257)  # EOD
+        acc = n = 0
+        buf = bytearray()
+        for code, wd in bits:
+            acc = (acc << wd) | code
+            n += wd
+            while n >= 8:
+                buf.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+        if n:
+            buf.append((acc << (8 - n)) & 0xFF)
+        return bytes(buf)
+
+    content = b"BT (LZW works: the quick brown fox, the quick brown fox) Tj ET"
+    assert _lzw_decode(lzw_encode(content)) == content
+
+    # stress across the 9->10->11 bit width transitions (needs many new
+    # table entries) with incompressible pseudo-random bytes
+    import random
+
+    rnd = random.Random(3)
+    blob = bytes(rnd.randrange(256) for _ in range(5000))
+    assert _lzw_decode(lzw_encode(blob)) == blob
+
+    z = lzw_encode(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length " + str(len(z)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + z + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert "the quick brown fox" in extract_pdf_text(pdf)
