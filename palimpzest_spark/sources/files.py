@@ -12,9 +12,12 @@ implementations: HTML→text via ``html.parser`` (scripts/styles dropped,
 links inlined as ``text (href)``, ``iter_dataset.py:216-281``); PDF→text via
 ``sources/pdf_lite.py`` (uncompressed + FlateDecode content streams);
 XLSX→per-sheet header+rows via ``sources/xlsx_lite.py`` (SpreadsheetML over
-``zipfile`` + ``xml.etree``). Only full-fidelity variants that genuinely
-need absent libraries (pypdf CMap fonts, xlrd legacy .xls, librosa audio
-decode) stay gated behind ``NotImplementedError`` naming the dependency.
+``zipfile`` + ``xml.etree``); legacy ``.xls`` via ``sources/xls_biff.py``
+(BIFF8); PDF CID fonts via ToUnicode CMaps and LZWDecode streams
+(``pdf_lite``); IMA ADPCM audio (``wav_lite``); baseline JPEG pixels
+(``jpeg_codec``). Only codecs that genuinely need absent libraries
+(perceptual audio MP3/AAC, video, progressive JPEG) stay gated behind
+``NotImplementedError`` naming the dependency.
 """
 
 from __future__ import annotations
