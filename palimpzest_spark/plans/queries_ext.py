@@ -1601,13 +1601,15 @@ WITH RECURSIVE g AS (
          )) AS grams
   FROM documents
 ),
-pairs AS (
+-- MATERIALIZED: the recursive walk below re-joins edges every iteration;
+-- an inlined CTE would re-run the quadratic gram join per step
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM g a JOIN g b ON a.doc_id < b.doc_id
   WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
   SELECT id_b AS s, id_a AS d FROM pairs
@@ -2780,13 +2782,13 @@ g AS (
          )) AS grams
   FROM src
 ),
-prs AS (
+prs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM g a JOIN g b ON a.doc_id < b.doc_id
   WHERE cast(len(list_intersect(a.grams, b.grams)) as double)
         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM prs UNION SELECT id_b, id_a FROM prs
 ),
 walk AS (
