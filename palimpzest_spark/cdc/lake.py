@@ -56,6 +56,13 @@ META_COLS = ("_bucket", "_ts", "_event_seq", "_deleted")
 
 KEY_COLS = ("conv_id", "turn_idx")
 
+# Compaction policy, shared by plan_compaction (merge-time split) and the
+# delta-first overflow sweep in merge.py so the two sites can never drift:
+# compact a bucket once pending delta rows reach COMPACT_RATIO of its base,
+# or once its delta-file fan-in would exceed COMPACT_MAX_DELTA_FILES.
+COMPACT_RATIO = 0.5
+COMPACT_MAX_DELTA_FILES = 8
+
 
 def lww_fold(df: DataFrame, key_cols: tuple[str, ...] = KEY_COLS) -> DataFrame:
     """Last-writer-wins reduce per key via ``max_by`` over the version struct
@@ -175,7 +182,14 @@ class SnapshotLakeTable:
             }
         cached = self._snap_cache.get(v)
         if cached is not None:
-            return cached
+            # Shallow top-level copy: callers may rebind keys without
+            # corrupting the cache. INVARIANT (shared sub-structures): the
+            # files/deltas/filestats/summary values are shared by reference
+            # across cached versions for speed — treat them as frozen; build
+            # new containers when deriving the next snapshot (commit_merge /
+            # compact / _fold_summary all do: dict(prev[...]) + rebind,
+            # never in-place mutation).
+            return dict(cached)
         try:
             with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
                 snap = json.load(f)
@@ -498,8 +512,8 @@ class SnapshotLakeTable:
     def plan_compaction(
         self,
         batch_rows_by_bucket: dict[int, int],
-        ratio: float = 0.5,
-        max_delta_files: int = 8,
+        ratio: float = COMPACT_RATIO,
+        max_delta_files: int = COMPACT_MAX_DELTA_FILES,
     ) -> tuple[list[int], list[int]]:
         """Split the batch's buckets into (compact-inline, merge-on-read).
 

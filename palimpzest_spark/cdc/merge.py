@@ -481,15 +481,13 @@ def _merge_delta_first(
     table.commit_merge([], {}, new_files, stats, full.jsonValue(), summary)
     t_commit = time.perf_counter()
 
-    # amortized compaction of overflowing buckets (separate job, may be none)
-    overflow = [
-        b for b, s in table.bucket_stats().items()
-        if s["delta_files"] and (
-            s["base_rows"] == 0
-            or s["delta_rows"] >= 0.5 * s["base_rows"]
-            or s["delta_files"] > 8
-        )
-    ]
+    # amortized compaction of overflowing buckets (separate job, may be
+    # none) — same policy object as the merge-time split, so the two sites
+    # can't drift: plan_compaction with 0 new rows asks "would this bucket's
+    # accumulated deltas alone trigger compaction?"
+    overflow, _ = table.plan_compaction(
+        {b: 0 for b, s in table.bucket_stats().items() if s["delta_files"]}
+    )
     if overflow:
         table.compact(spark, overflow)
 

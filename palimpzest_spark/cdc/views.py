@@ -45,22 +45,37 @@ class ConversationRollupView:
         self.path = path
         self._meta = os.path.join(path, "_view_meta.json")
 
-    def reflected_version(self) -> int:
+    def _load_meta(self) -> dict:
         if not os.path.exists(self._meta):
-            return 0
+            return {"version": 0, "data_dir": "data"}
         with open(self._meta) as f:
-            return json.load(f)["version"]
+            meta = json.load(f)
+        meta.setdefault("data_dir", "data")  # pre-versioned layouts
+        return meta
+
+    def _commit_meta(self, version: int, data_dir: str) -> None:
+        """Single-file atomic commit: the data dir a reader resolves flips
+        only when this rename lands (same write-then-rename discipline as
+        the lake's snapshot commits — a crash mid-refresh leaves the old
+        version fully readable)."""
+        tmp = self._meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "data_dir": data_dir}, f)
+        os.replace(tmp, self._meta)
+
+    def reflected_version(self) -> int:
+        return self._load_meta()["version"]
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "data"))
+        return spark.read.parquet(os.path.join(self.path, self._load_meta()["data_dir"]))
 
     def full_build(self, spark: SparkSession, table: SnapshotLakeTable) -> int:
         """Initial materialization: one full scan (bootstrap only)."""
         v = table.current_version()
         out = _rollup(table.read(spark))
-        out.write.mode("overwrite").parquet(os.path.join(self.path, "data"))
-        with open(self._meta, "w") as f:
-            json.dump({"version": v}, f)
+        data_dir = f"data_v{v}"
+        out.write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+        self._commit_meta(v, data_dir)
         return v
 
     def refresh(self, spark: SparkSession, table: SnapshotLakeTable) -> dict:
@@ -87,8 +102,7 @@ class ConversationRollupView:
         n_changed = changed.count()
         if not n_changed:
             changed.unpersist()
-            with open(self._meta, "w") as f:
-                json.dump({"version": v_to}, f)
+            self._commit_meta(v_to, self._load_meta()["data_dir"])
             return {"refreshed": True, "version": v_to, "changed_convs": 0}
 
         # Only BUCKET ids reach the driver (bounded by n_buckets); the
@@ -112,16 +126,21 @@ class ConversationRollupView:
         else:
             public = [c for c in live.columns if c not in META_COLS]
             fresh = _rollup(live.select(*public).join(changed, "conv_id", "left_semi"))
+        prev_dir = self._load_meta()["data_dir"]
         old = self.read(spark).join(changed, "conv_id", "left_anti")
         out = old.unionByName(fresh)
-        tmp = os.path.join(self.path, "data_next")
-        out.write.mode("overwrite").parquet(tmp)
-        final = os.path.join(self.path, "data")
-        import shutil
-
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
+        # Write the next version into its OWN directory, then flip the
+        # pointer with one atomic metadata rename — readers of the previous
+        # version are never left pointing at a half-deleted directory, and a
+        # crash anywhere here leaves the old version intact and the view
+        # self-healing (the orphaned data_v{N} dir is simply overwritten on
+        # the next successful refresh to that version).
+        next_dir = f"data_v{v_to}"
+        out.write.mode("overwrite").parquet(os.path.join(self.path, next_dir))
         changed.unpersist()
-        with open(self._meta, "w") as f:
-            json.dump({"version": v_to}, f)
+        self._commit_meta(v_to, next_dir)
+        if prev_dir != next_dir:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, prev_dir), ignore_errors=True)
         return {"refreshed": True, "version": v_to, "changed_convs": n_changed}

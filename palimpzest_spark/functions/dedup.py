@@ -66,6 +66,22 @@ def word_shingles(col: str, n: int = 3) -> F.Column:
 # --- n-gram Jaccard ----------------------------------------------------------------
 
 
+def _checkpoint_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize a (narrow) pairs result via ``localCheckpoint`` —
+    truncating its lineage so the wide cached intermediates it was built from
+    can be released immediately — then unpersist those intermediates.
+
+    Keeps long-lived sessions (curation pipelines looping dedup stages) from
+    pinning executor storage after the stage completes; the checkpointed
+    frame holds only id + hash/score rows, so its block footprint is
+    negligible even at 100 TB input scale (the ContextCleaner reclaims the
+    checkpoint blocks once the frame is garbage-collected)."""
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -149,7 +165,7 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     jac = inter.cast("double") / union
-    return (
+    out = (
         pairs.select("id_a", "id_b", jac.alias("jaccard_raw"))
         .filter(F.col("jaccard_raw") >= threshold)
         # engine-agnostic HALF_UP (see functions/text.py round_sql)
@@ -159,6 +175,7 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+    return _checkpoint_release(out, base)
 
 
 # --- MinHash + LSH -------------------------------------------------------------------
@@ -337,12 +354,13 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     ).cast("double") / F.lit(float(num_perm))
-    return (
+    out = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    return _checkpoint_release(out, sigs)
 
 
 # --- SimHash -----------------------------------------------------------------------
@@ -442,9 +460,10 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).filter(
+    out = cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+    return _checkpoint_release(out, sigs)
 
 
 # --- winnowing fingerprints --------------------------------------------------------

@@ -31,9 +31,17 @@ from palimpzest_spark.operators import (
 from palimpzest_spark.operators.filter import filter_records
 
 
+_TZ_PINNED: set[int] = set()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # pin UTC so timestamp values hash identically to DuckDB's naive reads
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pin UTC once per session so timestamp values hash identically to
+    # DuckDB's naive reads (the driver's session may not come from
+    # session.get_spark, which already pins it); after that _t is a pure read.
+    key = id(spark)
+    if key not in _TZ_PINNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _TZ_PINNED.add(key)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -89,17 +97,17 @@ ORDER BY l_returnflag, l_linestatus
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + agg + global top-k (TPC-H Q3 shape).
 
-    customer (small) is broadcast — no shuffle for the dim side; the
-    orders↔lineitem join shuffles on the key both sides. Global top-10 runs
-    as TakeOrderedAndProject (no full sort).
+    Join order matters at scale: the BUILDING-filtered customer dim is
+    broadcast onto orders FIRST (cuts the orders probe side ~5× before the
+    only big shuffle), then the reduced orders join lineitem on the key.
+    Catalyst won't reorder this without CBO stats, so we do it explicitly.
+    Global top-10 runs as TakeOrderedAndProject (no full sort).
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    )
+    orders_building = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = li.join(orders_building, li.l_orderkey == orders_building.o_orderkey)
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))

@@ -4,8 +4,8 @@ Covers the PNG subset that makes image columns REAL instead of stubbed
 (VERDICT r1 flagged the multimodal decoders as placeholders): greyscale (color type 0), RGB (2), palette (3), greyscale+alpha (4) and
 RGBA (6) at bit depths 1/2/4/8/16 (16-bit keeps the high byte),
 with all five scanline filters (None/Sub/Up/Average/Paeth) and Adam7
-interlacing implemented per the PNG specification. Palette images raise
-with the missing capability named. Encoder writes filter-0 scanlines —
+interlacing implemented per the PNG specification (palette images are
+expanded through their PLTE/tRNS tables). Encoder writes filter-0 scanlines —
 enough for fixtures and round-trip tests against the real format.
 
 Pure functions over bytes; the engine calls them inside Arrow-batched

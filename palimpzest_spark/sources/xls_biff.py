@@ -166,13 +166,23 @@ class _Segments:
 
     def read_chars(self, count: int, high: bool) -> str:
         """``count`` characters, re-reading the flag byte at each CONTINUE
-        boundary (the BIFF8 string-spanning rule)."""
+        boundary (the BIFF8 string-spanning rule). The hop is tracked by
+        segment INDEX, not by ``out`` being non-empty: a string whose
+        fixed-width header ends flush with a segment boundary has its char
+        data start at offset 0 of the CONTINUE with zero chars read yet,
+        and that continuation still restates the compression flag."""
         out = []
+        in_seg = (
+            self.i
+            if self.i < len(self.segs) and self.pos < len(self.segs[self.i])
+            else -1  # cursor parked at a segment end: next advance is a hop
+        )
         while count:
             if not self._advance():
                 break
-            if self.pos == 0 and out:  # entered a CONTINUE mid-string
+            if self.i != in_seg:  # entered a CONTINUE mid-string
                 high = bool(self.read(1)[0] & 1)
+                in_seg = self.i
                 continue
             width = 2 if high else 1
             n_here = min(count, self._remaining() // width)

@@ -347,7 +347,10 @@ def test_mor_delta_path_and_compaction(spark, tmp_path):
     # early batches: ~100 events over a ~19k-row base → every bucket takes the
     # delta path; the max_delta_files cap (8) must force a compaction later
     assert metrics[0]["delta_buckets"] > 0 and metrics[0]["compacted_buckets"] == 0
-    assert any(m["compacted_buckets"] > 0 for m in metrics[8:])
+    # the cap is COMPACT_MAX_DELTA_FILES=8 (shared policy with
+    # plan_compaction): a bucket touched by every batch accumulates its 8th
+    # delta file at batch index 7, which is the earliest the sweep can fire
+    assert any(m["compacted_buckets"] > 0 for m in metrics[7:])
 
     expected = fold(
         pd.read_parquet(base),

@@ -205,6 +205,18 @@ def test_legacy_xls_biff_real_parse(spark, tmp_path):
     part2 = b"\x00fghij" + _s.pack("<HB", 2, 1) + "éß".encode("utf-16le")
     assert _parse_sst([part1, part2]) == ["abcdefghij", "éß"]
 
+    # ADVICE r3: a string whose fixed-width HEADER ends exactly at the
+    # segment boundary — char data starts at offset 0 of the CONTINUE and
+    # must still consume the restated flag byte (previously mis-decoded as
+    # a character, corrupting every following SST entry)
+    h1 = _s.pack("<II", 2, 2) + _s.pack("<HB", 5, 0)  # header flush w/ end
+    h2 = b"\x00hello" + _s.pack("<HB", 5, 0) + b"world"
+    assert _parse_sst([h1, h2]) == ["hello", "world"]
+    # same shape but the continuation flips to uncompressed utf-16
+    u1 = _s.pack("<II", 1, 1) + _s.pack("<HB", 2, 0)
+    u2 = b"\x01" + "Σλ".encode("utf-16le")
+    assert _parse_sst([u1, u2]) == ["Σλ"]
+
 
 # --- streaming windows ----------------------------------------------------------
 
