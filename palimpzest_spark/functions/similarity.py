@@ -281,12 +281,18 @@ def train_ivf_centroids(
     return C
 
 
-def ivf_assign_col(vec_col: str, centroids: np.ndarray):
+def ivf_assign_col(vec_col: str, centroids: np.ndarray, normalize: bool = True):
     """Nearest-centroid id per row as an Arrow-batched pandas UDF (numpy
     matmul per batch — k x dim floats broadcast in the closure; k=4096,
     dim=1024 is 16 MB, fine as a task binary). JVM fold would need k
     codegen'd dot products per row — past ~32 centroids the vectorized
-    batch matmul wins."""
+    batch matmul wins.
+
+    ``normalize=False`` is the DuckDB-recomputable tier hook: with integer
+    vectors and integer centroids the raw argmax dot is EXACT in both
+    engines (row normalization never changes the argmax mathematically —
+    positive per-row scale — so the hot spherical-kmeans path and the
+    oracle tier pick the same centroid up to float noise)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -294,7 +300,8 @@ def ivf_assign_col(vec_col: str, centroids: np.ndarray):
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
         X = np.asarray(list(v), dtype=np.float64)
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        if normalize:
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
 
     return _assign(F.col(vec_col))
@@ -305,12 +312,13 @@ def write_ivf_index(
     path: str,
     centroids: np.ndarray,
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> None:
     """Materialize the corpus partitioned by nearest-centroid id (the
     inverted lists). A query probing ``nprobe`` centroids reads
     nprobe/n_centroids of the files via parquet partition pruning."""
     (
-        corpus.withColumn("_ivf", ivf_assign_col(vec_col, centroids))
+        corpus.withColumn("_ivf", ivf_assign_col(vec_col, centroids, normalize))
         .write.mode("overwrite")
         .partitionBy("_ivf")
         .parquet(path)
@@ -339,6 +347,41 @@ def ivf_top_k(
     return (
         cand.withColumn("similarity", cosine_similarity_col(vec_col, query))
         .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(k)
+        .drop("_ivf")
+    )
+
+
+def ivf_top_k_dot(
+    spark,
+    path: str,
+    query_int: list[int],
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Integer-dot tier of :func:`ivf_top_k` (the DuckDB-recomputable hook):
+    probes are argsort of exact integer centroid·query dots (ties → smaller
+    centroid id), candidates are ranked by the exact integer inner product
+    computed JVM-side (``zip_with`` + ``aggregate`` over longs — no float
+    accumulation anywhere, so the oracle can replay rank-for-rank). Same
+    partition-pruned read shape as the cosine tier."""
+    q = np.asarray(query_int, dtype=np.int64)
+    C = np.asarray(centroids, dtype=np.int64)
+    scores = C @ q
+    probes = sorted(range(len(C)), key=lambda c: (-int(scores[c]), c))[:nprobe]
+    qcol = F.array(*[F.lit(int(x)).cast("long") for x in query_int])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qcol, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = spark.read.parquet(path).filter(F.col("_ivf").isin(probes))
+    return (
+        cand.withColumn("dot", dot)
+        .orderBy(F.desc("dot"), F.asc(id_col))
         .limit(k)
         .drop("_ivf")
     )

@@ -368,6 +368,38 @@ def test_ivf_indexed_topk_recall_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "_ivf" in plan
 
 
+def test_ivf_int_dot_tier_exact_vs_numpy(spark, tmp_path):
+    """Integer-dot IVF tier (the oracle-replayable hook): with integer
+    vectors and integer centroids, probes + assignment + ranking must match
+    an exact numpy replay bit-for-bit — no float accumulation anywhere."""
+    import numpy as np
+
+    from palimpzest_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(3)
+    X = rng.integers(-50, 51, size=(300, 12)).astype(np.int64)
+    C = rng.integers(-50, 51, size=(6, 12)).astype(np.int64)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [r.tolist() for r in X]})
+    )
+    path = str(tmp_path / "ivf_int")
+    SIM.write_ivf_index(corpus, path, C, normalize=False)
+
+    q = X[0]
+    out = SIM.ivf_top_k_dot(
+        spark, path, [int(x) for x in q], C, k=8, nprobe=2
+    ).toPandas()
+
+    # numpy replay of the same approximation
+    cscores = C @ q
+    probes = sorted(range(len(C)), key=lambda c: (-int(cscores[c]), c))[:2]
+    assign = np.argmax(X @ C.T, axis=1)
+    cand = [i for i in range(300) if assign[i] in probes]
+    ranked = sorted(cand, key=lambda i: (-int(X[i] @ q), i))[:8]
+    assert list(out["vec_id"]) == ranked
+    assert list(out["dot"]) == [int(X[i] @ q) for i in ranked]
+
+
 def test_sem_join_guard_and_blocking(spark):
     from palimpzest_spark.dataset import Dataset
 
