@@ -215,6 +215,55 @@ def test_stream_mor_kill_resume_big_base(spark, tmp_path):
     _assert_state_equal(_actual(spark, table), expected)
 
 
+def test_maintenance_interleaved_with_kill_resume(spark, tmp_path):
+    """VERDICT r3 next-#6: table maintenance (compact + expire_snapshots,
+    exactly what `runner --maintenance both` calls) running BETWEEN the kill
+    and the resume of a checkpointed stream must not disturb convergence:
+    the expire horizon (oldest retained commit's committed_at) protects the
+    in-flight stream's already-written-but-uncommitted files, compaction
+    rewrites deltas into the base, and the resumed stream still folds to the
+    exact pandas LWW state. Also asserts expired versions raise while
+    retained ones stay readable."""
+    d = tmp_path / "maint"
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=800, max_turns=8, seed=33)
+    feed_paths = feedgen.gen_change_feed(
+        str(d / "feed"), n_events=1200, n_convs=800, max_turns=8, n_files=8, seed=33
+    )
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+    ckpt = str(d / "ckpt")
+
+    first = replay_stream(spark, table, str(d / "feed"), ckpt,
+                          max_files_per_trigger=2, max_batches=2)
+    assert len(first) >= 2
+
+    # maintenance mid-replay: compact deltas, then expire all but the last
+    # 2 snapshots (the CLI's --maintenance both path)
+    from palimpzest_spark.cdc.timetravel import expire_snapshots
+
+    table.compact(spark)
+    rep = expire_snapshots(table, keep_last=2)
+    assert rep["removed_snapshots"] > 0, "maintenance was a no-op"
+    cur = table.current_version()
+    with pytest.raises(Exception):
+        table.read(spark, version=1)  # expired version must raise
+    assert table.read(spark, version=cur).count() > 0  # retained stays live
+
+    resumed = replay_stream(spark, table, str(d / "feed"), ckpt,
+                            max_files_per_trigger=2)
+    assert resumed, "resume processed nothing after maintenance"
+
+    # second maintenance pass AFTER convergence must not change the state
+    table.compact(spark)
+    expire_snapshots(table, keep_last=2)
+
+    expected = fold(
+        pd.read_parquet(base),
+        pd.concat([pd.read_parquet(p) for p in feed_paths], ignore_index=True),
+    )
+    _assert_state_equal(_actual(spark, table), expected)
+
+
 def test_extreme_hot_key_skew(spark, tmp_path):
     """95% of events on ~1% of conv_ids (pathological Zipf): the map-side
     combinable LWW must still produce the exact fold — no correctness
