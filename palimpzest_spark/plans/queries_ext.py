@@ -1125,29 +1125,74 @@ def multimodal_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@_q("multimodal_audio_features")  # rows-only: signal statistics engine-internal
-def multimodal_audio_features(spark, sf_dir):
-    """REAL audio decode: deterministic PCM WAVs (stdlib codec, seeded sine
-    mixes) → RIFF metadata + rms/zero-crossing/spectral features."""
+def _audio_fixture_signals():
+    """The audio fixture SPEC (seeded sine mixes) — shared by the engine
+    query (which encodes them to PCM WAV bytes) and the oracle generator
+    (which replays the 16-bit quantization + rms independently of the
+    decoder, so the oracle is encode→decode→feature round-trip evidence)."""
     import numpy as np
 
-    from palimpzest_spark.sources.wav_lite import encode_wav
-
-    wavs = []
+    out = []
     for i in range(16):
         rng = np.random.default_rng(2000 + i)
         t = np.linspace(0, 0.25, 4000, endpoint=False)
         f0 = 110 * (1 + i % 7)
-        sig = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(len(t))
-        wavs.append((i, encode_wav(sig, rate=16_000)))
+        out.append((i, 0.4 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(len(t))))
+    return out
+
+
+def _audio_features_oracle_sql() -> str:
+    """Ground-truth VALUES for multimodal_audio_features, computed WITHOUT
+    touching wav_lite.decode_wav or functions/multimodal: the 16-bit PCM
+    quantization (clip(x*32767)/32768, the WAV spec's decode contract) and
+    rms are replayed in 4 lines of numpy over the fixture spec. Any
+    encode_wav / decode_wav / feature-UDF defect breaks the value hash.
+    HALF_UP-style rounding is floor(x*1e4+0.5) on the same float64 in both
+    engines (the query uses the identical floor expression)."""
+    import math
+
+    import numpy as np
+
+    rows = []
+    for i, sig in _audio_fixture_signals():
+        pcm = np.clip(np.asarray(sig, dtype=np.float64) * 32767.0, -32768, 32767)
+        mono = pcm.astype("<i2").astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(mono**2)))
+        rms4 = math.floor(rms * 1e4 + 0.5) / 1e4
+        dur_ms = len(mono) * 1000 // 16_000
+        rows.append(f"({i}, 16000, {dur_ms}, {rms4!r})")
+    vals = ",\n  ".join(rows)
+    return (
+        "SELECT CAST(asset_id AS BIGINT) AS asset_id,\n"
+        "       CAST(sample_rate AS BIGINT) AS sample_rate,\n"
+        "       CAST(duration_ms AS BIGINT) AS duration_ms,\n"
+        "       CAST(rms AS DOUBLE) AS rms\n"
+        f"FROM (VALUES\n  {vals}\n) AS t(asset_id, sample_rate, duration_ms, rms)\n"
+        "ORDER BY asset_id"
+    )
+
+
+@_q("multimodal_audio_features", oracle=_audio_features_oracle_sql())
+def multimodal_audio_features(spark, sf_dir):
+    """ORACLE-CHECKED real audio decode: deterministic PCM WAVs (stdlib
+    codec, seeded sine mixes) → RIFF metadata + rms features. The oracle is
+    generated at import time from the fixture spec alone (independent numpy
+    replay of the PCM quantization contract — see _audio_features_oracle_sql),
+    so decode_wav, audio_metadata's RIFF walk, and the feature UDF are all
+    value-hash-gated. (Upgraded from rows-only — VERDICT r3 next-#5; the
+    image twin stays rows-only because its JPEG half is lossy, so ground
+    truth would need an independent JPEG decoder.)"""
+    from palimpzest_spark.sources.wav_lite import encode_wav
+
+    wavs = [(i, encode_wav(sig, rate=16_000)) for i, sig in _audio_fixture_signals()]
     assets = spark.createDataFrame(wavs, "asset_id long, content binary")
     with_meta = multimodal.audio_metadata(assets)
     feats = multimodal.extract_features(with_meta, dim=8, decode="audio")
     return feats.select(
         "asset_id",
-        "sample_rate",
-        "duration_ms",
-        F.round(F.element_at("features", 4), 4).alias("rms"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        (F.floor(F.element_at("features", 4) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("rms"),
     ).orderBy("asset_id")
 
 
@@ -1255,12 +1300,38 @@ def flat_map_ordinality(spark, sf_dir):
     )
 
 
-@_q("xls_tables_fanout")  # rows-only: xlsx bytes are engine-synthesized
+@_q(
+    "xls_tables_fanout",
+    oracle=r"""
+WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 6),
+words AS (
+  SELECT 'wb' || CAST(doc_id AS VARCHAR) || '.xlsx' AS filename,
+         CAST(0 AS BIGINT) AS _cardinality_idx,
+         'Words' AS sheet, 'word' AS header_csv,
+         CAST(least(5, len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_rows
+  FROM src
+),
+meta AS (
+  SELECT 'wb' || CAST(doc_id AS VARCHAR) || '.xlsx' AS filename,
+         CAST(1 AS BIGINT) AS _cardinality_idx,
+         'Meta' AS sheet, 'doc_id,n' AS header_csv,
+         CAST(1 AS BIGINT) AS n_rows
+  FROM src
+)
+SELECT * FROM words UNION ALL SELECT * FROM meta
+ORDER BY filename, _cardinality_idx
+""",
+)
 def xls_tables_fanout(spark, sf_dir):
-    """The reference UDF-library pipeline (utils/udfs.py:28-56): binary xlsx
-    → file_to_xls (sheet names) → xls_to_tables (one row per sheet, real
-    SpreadsheetML parse, _cardinality_idx = sheet ordinal). Workbooks are
-    synthesized deterministically from the documents table."""
+    """ORACLE-CHECKED reference UDF-library pipeline (utils/udfs.py:28-56):
+    binary xlsx → file_to_xls (sheet names) → xls_to_tables (one row per
+    sheet, real SpreadsheetML parse, _cardinality_idx = sheet ordinal).
+    Workbooks are synthesized deterministically from the documents table, so
+    the oracle is a true encode→parse ROUND-TRIP gate: DuckDB recomputes the
+    expected sheet names, ordinals, headers, and row counts straight from
+    the documents rows (never touching the codec), and any write_xlsx /
+    parser defect breaks the value hash. (Upgraded from rows-only —
+    VERDICT r3 next-#5.)"""
     from palimpzest_spark.functions import udfs as U
     from palimpzest_spark.sources.xlsx_lite import write_xlsx
 
@@ -1291,7 +1362,7 @@ def xls_tables_fanout(spark, sf_dir):
         F.col("_cardinality_idx").cast("long").alias("_cardinality_idx"),
         "sheet",
         F.array_join("header", ",").alias("header_csv"),
-        F.size("rows").alias("n_rows"),
+        F.size("rows").cast("long").alias("n_rows"),
     ).orderBy("filename", "_cardinality_idx")
 
 
