@@ -417,13 +417,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.6, n=3)
 
 
-@_q("dedup_minhash_docs")  # rows-only: signature hashing is engine-internal
+@_q("dedup_minhash_docs")  # rows-only fast tier (signature hashing is engine-internal); oracle twin: dedup_minhash_oracle (md5 tier)
 def dedup_minhash_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
-@_q("dedup_simhash_docs")  # rows-only
+@_q("dedup_simhash_docs")  # rows-only fast tier (xxhash bit-sampling engine-internal); oracle twin: dedup_simhash_oracle (md5 tier)
 def dedup_simhash_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
@@ -452,7 +452,7 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@_q("ann_lsh_topk")  # rows-only: bucket layout is engine-internal
+@_q("ann_lsh_topk")  # rows-only fast tier (bucket layout is engine-internal); oracle twin: ann_lsh_topk_oracle (inlined hyperplanes)
 def ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -460,7 +460,7 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", "label")
 
 
-@_q("ann_ivf_topk")  # rows-only: inverted-list layout is engine-internal
+@_q("ann_ivf_topk")  # rows-only fast tier (inverted-list layout is engine-internal); oracle twin: ann_ivf_topk_oracle (integer-dot tier)
 def ann_ivf_topk(spark, sf_dir):
     """IVF scale tier: seeded spherical k-means coarse quantizer (trained on
     a bounded sample), corpus materialized partitioned by nearest centroid,
@@ -484,7 +484,7 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-@_q("embedding_neardup")  # rows-only (LSH blocking engine-internal)
+@_q("embedding_neardup")  # rows-only fast tier (LSH blocking engine-internal); oracle twin: embedding_neardup_oracle
 def embedding_neardup(spark, sf_dir):
     """Random embeddings are never cosine-0.9 close, so the raw table made
     this a vacuous 0-row check (VERDICT r1 #5). Plant deterministic near-dups:
@@ -512,7 +512,7 @@ def embedding_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@_q("cdc_time_travel_changes")  # rows-only: snapshot manifests engine-internal
+@_q("cdc_time_travel_changes")  # rows-only fast tier (snapshot manifests engine-internal); oracle twin: cdc_cdf_between_versions (deterministic feed)
 def cdc_time_travel_changes(spark, sf_dir):
     """Change-data-feed between lake snapshots: replay a deterministic feed
     in 2 batches, then read the net row-level inserts/updates/deletes from
@@ -1057,7 +1057,7 @@ def dedup_winnow_overlap(spark, sf_dir):
     )
 
 
-@_q("sem_topk_attach")  # rows-only: embed stub not SQL-expressible
+@_q("sem_topk_attach")  # rows-only fast tier (embed stub not SQL-expressible); oracle twin: sem_topk_attach_oracle
 def sem_topk_attach(spark, sf_dir):
     """Per-record retrieve-and-attach (reference TopKOp,
     reference topk.py:122-155,233-278): embed each document's text, attach
@@ -1079,7 +1079,7 @@ def sem_topk_attach(spark, sf_dir):
     )
 
 
-@_q("multimodal_features")  # rows-only: pixel statistics are engine-internal
+@_q("multimodal_features")  # rows-only: JPEG tier is lossy, so ground truth would need an independent decoder; PNG half is codec-gated in tests/test_functions.py
 def multimodal_features(spark, sf_dir):
     """REAL image decode: deterministic PNGs AND baseline JPEGs (stdlib
     codecs, seeded by asset id) → header metadata + pixel-statistics
@@ -1196,7 +1196,7 @@ def multimodal_audio_features(spark, sf_dir):
     ).orderBy("asset_id")
 
 
-@_q("sem_rag_convert")  # rows-only: inference stub is engine-internal
+@_q("sem_rag_convert")  # rows-only fast tier (inference stub is engine-internal); oracle twin: sem_rag_oracle (md5 tier)
 def sem_rag_convert(spark, sf_dir):
     from palimpzest_spark.operators import strategies as S
 
@@ -1205,7 +1205,7 @@ def sem_rag_convert(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_split_convert")  # rows-only
+@_q("sem_split_convert")  # rows-only fast tier (crc32 inference stub engine-internal); oracle twin: sem_split_convert_oracle (md5 tier)
 def sem_split_convert(spark, sf_dir):
     from palimpzest_spark.operators import strategies as S
 
@@ -1215,7 +1215,7 @@ def sem_split_convert(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_mixture_of_agents")  # rows-only
+@_q("sem_mixture_of_agents")  # rows-only fast tier (crc32 inference stub engine-internal); oracle twin: sem_mixture_oracle (md5 tier)
 def sem_mixture_of_agents(spark, sf_dir):
     from palimpzest_spark.operators import strategies as S
 
@@ -1224,7 +1224,7 @@ def sem_mixture_of_agents(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_aggregate_by_lang")  # rows-only
+@_q("sem_aggregate_by_lang")  # rows-only fast tier (crc32 inference stub engine-internal); oracle twin: sem_aggregate_oracle (md5 tier)
 def sem_aggregate_by_lang(spark, sf_dir):
     from palimpzest_spark.functions import text as XT
     from palimpzest_spark.operators import strategies as S
@@ -1235,7 +1235,7 @@ def sem_aggregate_by_lang(spark, sf_dir):
     return out.orderBy("lang")
 
 
-@_q("sem_critique_convert")  # rows-only: inference stub engine-internal
+@_q("sem_critique_convert")  # rows-only fast tier (inference stub engine-internal); oracle twin: sem_critique_oracle (md5 tier)
 def sem_critique_convert(spark, sf_dir):
     """Critique-and-refine physical strategy (critique_and_refine.py:18-214):
     base → critic → refine chained vectorized UDF columns, one map stage."""
@@ -1246,7 +1246,7 @@ def sem_critique_convert(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_embedding_join")  # rows-only: learned band + stub judge engine-internal
+@_q("sem_embedding_join")  # rows-only fast tier (learned band + stub judge engine-internal); oracle twin: sem_embedding_join_oracle (identity-embed tier)
 def sem_embedding_join(spark, sf_dir):
     """EmbeddingJoin with LEARNED thresholds (ref join.py:706-746): sample
     pairs, judge them, fit [lo, hi], short-circuit out-of-band pairs. Blocked
@@ -1366,7 +1366,7 @@ def xls_tables_fanout(spark, sf_dir):
     ).orderBy("filename", "_cardinality_idx")
 
 
-@_q("lineage_flat_map")  # rows-only: _id derivation hash is engine-internal
+@_q("lineage_flat_map")  # rows-only fast tier (_id derivation hash is engine-internal); oracle twin: lineage_flat_map_oracle (sha256 replay)
 def lineage_flat_map(spark, sf_dir):
     """Provenance columns through map → flat_map (records.py:28-83 contract):
     deterministic _id from the derivation (op, parent id, cardinality idx),
@@ -1615,7 +1615,7 @@ def percentile_by_type(spark, sf_dir):
     )
 
 
-@_q("pack_documents_tokens")  # rows-only: bin assignment is engine-internal
+@_q("pack_documents_tokens")  # rows-only fast tier (bin assignment is engine-internal); oracle twin: pack_sequences_oracle (recursive-CTE replay)
 def pack_documents_tokens(spark, sf_dir):
     """Sequence packing (functions/packing.py): whitespace token counts →
     2048-token bins via grouped first-fit-decreasing. Invariant gates
