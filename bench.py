@@ -79,6 +79,19 @@ def main() -> None:
             "cdc_trials_events_per_sec": cdc.get("trials_events_per_sec"),
             "cdc_trials_steal_frac": cdc.get("trials_steal_frac"),
         }
+        # Hot-key skew evidence: same event count, 95% of events on 1% of
+        # conv_ids; the uniform side is the headline above (identical plan
+        # shapes, so the headline's warmup covers these trials too). A ratio
+        # near 1.0 = merge throughput does not depend on key distribution
+        # (map-side-combinable LWW + AQE rebalance write — see
+        # cdc/bench.py:run_skew_bench for the interleaved standalone mode).
+        hot = run_cdc_bench(spark, warmup=False, hot_frac=0.01, hot_share=0.95)
+        extra["cdc_hot_key_events_per_sec"] = round(hot["events_per_sec"], 1)
+        extra["cdc_skew_ratio"] = (
+            round(hot["events_per_sec"] / cdc["events_per_sec"], 3)
+            if cdc["events_per_sec"]
+            else None
+        )
     except ImportError:
         headline_metric = "headline_queries_total"
         headline_value = round(sum(timings.values()), 3)

@@ -41,9 +41,15 @@ def ensure_fixture(
     n_files: int = 12,
     seed: int = 42,
     evolve_at: float = 0.5,
+    hot_frac: float = 0.01,
+    hot_share: float = 0.30,
 ) -> dict[str, str]:
-    """Generate (or reuse) the bench feed; cache key = the size parameters."""
+    """Generate (or reuse) the bench feed; cache key = the size parameters.
+    Non-default ``hot_*`` skew parameters get their own cache entry (the
+    default-key format predates them and stays valid)."""
     key = f"e{n_events}_c{n_convs}_t{max_turns}_f{n_files}_s{seed}_v{evolve_at}"
+    if (hot_frac, hot_share) != (0.01, 0.30):
+        key += f"_h{hot_frac}-{hot_share}"
     root = os.path.join(CACHE_ROOT, key)
     base = os.path.join(root, "base", "conversations.parquet")
     feed_dir = os.path.join(root, "feed")
@@ -59,6 +65,8 @@ def ensure_fixture(
             n_files=n_files,
             seed=seed,
             evolve_at=evolve_at,
+            hot_frac=hot_frac,
+            hot_share=hot_share,
         )
         open(done, "w").close()
     return {"base": base, "feed_dir": feed_dir}
@@ -201,3 +209,137 @@ def run_cdc_bench(
     out["trials_steal_frac"] = [round(r["steal_frac"], 4) for r in runs]
     out["n_clean"] = len([r for r in runs if r["steal_frac"] <= max_steal])
     return out
+
+
+def run_skew_bench(
+    spark: SparkSession,
+    n_events: int = 1_000_000,
+    n_convs: int = 20_000,
+    files_per_batch: int = 4,
+    n_buckets: int = 16,
+    rounds: int = 3,
+    max_steal: float = 0.05,
+    hot_frac: float = 0.01,
+    hot_share: float = 0.95,
+) -> dict[str, Any]:
+    """Hot-key skew throughput evidence (north rule: "salted repartitioning
+    on hot conv_id keys to defuse skew").
+
+    Replays the SAME event count twice per round — once with the default
+    near-uniform key mix, once with ``hot_share`` of all events landing on
+    ``hot_frac`` of the conv_ids (pathological Zipf) — and reports the
+    throughput ratio hot/uniform. The merge path has no skew-specific code
+    to toggle: its LWW fold is a map-side-combinable ``max_by`` aggregate
+    (hot keys collapse before the shuffle) and its write distribution is an
+    AQE ``rebalance`` hint on ``_bucket`` (a hot bucket splits across
+    tasks), so the defense is structural. A ratio near 1.0 is the claim
+    "throughput does not depend on the key distribution" made measurable;
+    correctness under the same skew is gated by
+    ``tests/test_cdc.py::test_extreme_hot_key_skew``.
+
+    Trials are interleaved uniform/hot inside each round so co-tenant noise
+    lands on both sides; per-trial steal fractions are measured and
+    steal-dirty rounds are dropped from the medians when any clean round
+    exists (same discipline as ``run_cdc_bench``).
+    """
+    import statistics
+
+    uni = ensure_fixture(n_events=n_events, n_convs=n_convs)
+    hot = ensure_fixture(
+        n_events=n_events, n_convs=n_convs, hot_frac=hot_frac, hot_share=hot_share
+    )
+    # one warmup replay per fixture shape (codegen/C2/parquet-codec warmth)
+    _replay_fresh(spark, uni, files_per_batch, n_buckets)
+    _replay_fresh(spark, hot, files_per_batch, n_buckets)
+    cores = max(len(os.sched_getaffinity(0)), 1)
+    rows: list[dict[str, Any]] = []
+    for _ in range(max(rounds, 1)):
+        row: dict[str, Any] = {}
+        for name, fix in (("uniform", uni), ("hot", hot)):
+            s0, w0 = _steal_jiffies(), time.monotonic()
+            r = _replay_fresh(spark, fix, files_per_batch, n_buckets)
+            wall = time.monotonic() - w0
+            row[name] = r["events_per_sec"]
+            row[f"{name}_steal"] = (_steal_jiffies() - s0) / max(
+                wall * 100.0 * cores, 1e-9
+            )
+        rows.append(row)
+    clean = [
+        r for r in rows
+        if r["uniform_steal"] <= max_steal and r["hot_steal"] <= max_steal
+    ] or rows
+    uni_med = statistics.median(r["uniform"] for r in clean)
+    hot_med = statistics.median(r["hot"] for r in clean)
+    return {
+        "uniform_events_per_sec": round(uni_med, 1),
+        "hot_events_per_sec": round(hot_med, 1),
+        "skew_ratio": round(hot_med / uni_med, 3) if uni_med else None,
+        "hot_frac": hot_frac,
+        "hot_share": hot_share,
+        "rounds": [
+            {k: round(v, 4 if k.endswith("_steal") else 1) for k, v in r.items()}
+            for r in rows
+        ],
+        "n_clean_rounds": len(
+            [r for r in rows
+             if r["uniform_steal"] <= max_steal and r["hot_steal"] <= max_steal]
+        ),
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+    import json
+
+    from palimpzest_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(
+        description="CDC merge-apply throughput bench (one JSON line on stdout)"
+    )
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--convs", type=int, default=20_000)
+    ap.add_argument("--fpb", type=int, default=4, help="feed files per microbatch")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--max-steal", type=float, default=0.05)
+    ap.add_argument("--cpus", type=int, default=0, help="0 = all available")
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="run the hot-key skew comparison instead of the plain headline",
+    )
+    ap.add_argument("--hot-share", type=float, default=0.95)
+    ap.add_argument("--hot-frac", type=float, default=0.01)
+    args = ap.parse_args(argv)
+
+    cpus = args.cpus or max(len(os.sched_getaffinity(0)), 1)
+    spark = get_spark(master=f"local[{cpus}]")
+    try:
+        if args.skew:
+            out = run_skew_bench(
+                spark, n_events=args.events, n_convs=args.convs,
+                files_per_batch=args.fpb, n_buckets=args.buckets,
+                rounds=args.trials, max_steal=args.max_steal,
+                hot_frac=args.hot_frac, hot_share=args.hot_share,
+            )
+            out["metric"] = "cdc_skew_throughput_ratio"
+        else:
+            r = run_cdc_bench(
+                spark, n_events=args.events, n_convs=args.convs,
+                files_per_batch=args.fpb, n_buckets=args.buckets,
+                trials=args.trials, max_steal=args.max_steal,
+            )
+            out = {
+                "metric": "cdc_merge_events_per_sec",
+                "events_per_sec": round(r["events_per_sec"], 1),
+                "trials_events_per_sec": r["trials_events_per_sec"],
+                "trials_steal_frac": r["trials_steal_frac"],
+                "n_clean": r["n_clean"],
+            }
+        out["cpus"] = cpus
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

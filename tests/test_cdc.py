@@ -750,3 +750,87 @@ def test_replay_with_quarantine_gates(spark, tmp_path):
     a = sorted(map(tuple, t1.read(spark).collect()))
     b = sorted(map(tuple, t2.read(spark).collect()))
     assert a == b and len(a) > 0
+
+
+def test_skew_bench_harness(spark, tmp_path, monkeypatch):
+    """run_skew_bench plumbing at toy scale: distinct fixture cache keys for
+    the hot-key variant, interleaved uniform/hot rounds, and a positive
+    throughput ratio. (The full-size ratio is BENCH evidence, not a unit
+    gate — this host's co-tenant noise would make a threshold assert flaky;
+    exactness under the same skew is test_extreme_hot_key_skew.)"""
+    import os
+
+    from palimpzest_spark.cdc import bench as B
+
+    monkeypatch.setattr(B, "_WORK_ROOT", str(tmp_path))
+    monkeypatch.setattr(B, "CACHE_ROOT", str(tmp_path / "cache"))
+
+    uni = B.ensure_fixture(n_events=4000, n_convs=150, n_files=4)
+    hot = B.ensure_fixture(
+        n_events=4000, n_convs=150, n_files=4, hot_frac=0.02, hot_share=0.9
+    )
+    assert os.path.dirname(uni["feed_dir"]) != os.path.dirname(hot["feed_dir"])
+    assert os.path.exists(uni["base"]) and os.path.exists(hot["base"])
+
+    out = B.run_skew_bench(
+        spark, n_events=4000, n_convs=150, files_per_batch=2, n_buckets=4,
+        rounds=1, hot_frac=0.02, hot_share=0.9,
+    )
+    assert out["skew_ratio"] and out["skew_ratio"] > 0
+    assert len(out["rounds"]) == 1
+    r = out["rounds"][0]
+    assert {"uniform", "hot", "uniform_steal", "hot_steal"} <= set(r)
+
+
+def test_rebucket_evolution(spark, fixture_dirs, tmp_path):
+    """Bucket-count evolution (Iceberg partition-spec evolution analog):
+    rebucket mid-replay, then keep merging — final state must still equal
+    the pandas fold; time-travel reads of pre-rebucket snapshots use THEIR
+    manifest's bucket count; reopening the table adopts the persisted count
+    over the constructor argument; point lookups prune with the new count."""
+    import os
+
+    from palimpzest_spark.cdc.timetravel import changed_buckets
+
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=4)
+    bootstrap(spark, table, fixture_dirs["base"])
+    # first half of the feed at 4 buckets
+    replay_batches(spark, table, fixture_dirs["feed_dir"], files_per_batch=2,
+                   max_batches=2)
+    state_mid = _actual(spark, table)
+    v_mid = table.current_version()
+
+    v_re = table.rebucket(spark, 8)
+    assert table.n_buckets == 8
+    assert table.snapshot()["n_buckets"] == 8
+    # rebucket preserves state exactly and folds all deltas
+    pd.testing.assert_frame_equal(_actual(spark, table), state_mid)
+    assert not table.has_deltas()
+    # every data file now lives under a bucket id < 8, keyed consistently
+    snap = table.snapshot()
+    assert set(map(int, snap["files"])) <= set(range(8))
+    # a no-op rebucket is metadata-free
+    assert table.rebucket(spark, 8) == v_re
+
+    # time travel to the pre-rebucket snapshot still reads 4-bucket manifests
+    pd.testing.assert_frame_equal(
+        table.read(spark, version=v_mid)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True),
+        state_mid,
+    )
+    # changed_buckets spans the larger universe across the rebucket boundary
+    assert changed_buckets(table, v_mid, table.current_version())
+
+    # second half of the feed merges under the NEW count
+    replay_batches(spark, table, fixture_dirs["feed_dir"], files_per_batch=2,
+                   skip_files=4, start_batch_id=2)
+    _assert_state_equal(_actual(spark, table), _expected(fixture_dirs))
+
+    # reopening with a stale constructor default adopts the persisted count
+    reopened = SnapshotLakeTable(str(tmp_path / "lake"))  # ctor default 16
+    assert reopened.n_buckets == 8
+    conv = state_mid["conv_id"].iloc[0]
+    got = reopened.read_conv(spark, [conv]).toPandas()
+    assert set(got["conv_id"]) == {conv}
