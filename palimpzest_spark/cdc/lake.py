@@ -149,6 +149,15 @@ class SnapshotLakeTable:
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # The bucket count is TABLE metadata, not a caller opinion: a reader
+        # hashing point lookups with a different count than the writer would
+        # silently scan the wrong bucket's files. For an existing table the
+        # persisted value wins over the constructor argument (which then only
+        # seeds brand-new tables); it changes only via rebucket().
+        if self.current_version() > 0:
+            persisted = self._peek_n_buckets()
+            if persisted:
+                self.n_buckets = persisted
         # Snapshots are immutable once committed, so parsed manifests are
         # cached by version. At steady state a merge consults the manifest
         # ~6x per batch (idempotence gate, summary, compaction plan, scan,
@@ -161,6 +170,17 @@ class SnapshotLakeTable:
 
     def _hint_path(self) -> str:
         return os.path.join(self.meta_dir, VERSION_HINT)
+
+    def _peek_n_buckets(self) -> int | None:
+        """Persisted bucket count of the current snapshot, read directly from
+        the manifest file (no snapshot cache — callable from __init__).
+        Tables written before n_buckets was persisted return None."""
+        try:
+            with open(os.path.join(self.meta_dir, f"v{self.current_version()}.json")) as f:
+                nb = json.load(f).get("n_buckets")
+            return int(nb) if nb else None
+        except (FileNotFoundError, ValueError):
+            return None
 
     def current_version(self) -> int:
         try:
@@ -216,6 +236,9 @@ class SnapshotLakeTable:
         """Atomically publish a new snapshot (write-then-rename)."""
         new_v = self.current_version() + 1
         snap = dict(snap, version=new_v, committed_at=time.time())
+        # bucket count rides every manifest so readers can never hash point
+        # lookups with a different count than the files were written under
+        snap.setdefault("n_buckets", self.n_buckets)
         path = os.path.join(self.meta_dir, f"v{new_v}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -256,7 +279,10 @@ class SnapshotLakeTable:
         old file list — provided the files haven't been vacuumed
         (``timetravel.expire_snapshots``)."""
         snap = self.snapshot(version)
-        sel = range(self.n_buckets) if buckets is None else buckets
+        # a time-travel read must use the bucket universe of THAT snapshot —
+        # after rebucket() the current count no longer describes old manifests
+        nb = int(snap.get("n_buckets") or self.n_buckets)
+        sel = range(nb) if buckets is None else buckets
         paths = [
             os.path.join(self.root, p)
             for b in sel
@@ -309,9 +335,10 @@ class SnapshotLakeTable:
         if not conv_ids:
             schema = self.schema(version) or T.StructType([])
             return spark.createDataFrame([], schema)
+        nb = int(self.snapshot(version).get("n_buckets") or self.n_buckets)
         ids = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
         rows = ids.select(
-            F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int").alias("b")
+            F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("b")
         ).distinct().collect()
         buckets = sorted(r["b"] for r in rows)
         df = self.read_raw(spark, buckets=buckets, version=version)
@@ -357,7 +384,7 @@ class SnapshotLakeTable:
         snap = self.snapshot(version)
         fstats = snap.get("filestats", {})
         paths = []
-        for b in range(self.n_buckets):
+        for b in range(int(snap.get("n_buckets") or self.n_buckets)):
             deltas = snap["deltas"].get(str(b), [])
             base = snap["files"].get(str(b), [])
             if deltas:
@@ -581,6 +608,64 @@ class SnapshotLakeTable:
         return self.commit_merge(
             todo, new_files, {}, stats, snap["schema"], snap["summary"]
         )
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
+        """Bucket-count evolution (Iceberg partition-spec-evolution analog,
+        `ALTER TABLE ... REPLACE PARTITION FIELD bucket(N, conv_id)` + a
+        `rewrite_data_files`): one full-table rewrite into ``new_n_buckets``
+        hash buckets, committed as a single snapshot whose manifest carries
+        the new count. Grow the count as the table grows so base files stay
+        in the 128-512 MB sweet spot (``suggest_n_buckets``); at 10^10 rows
+        that's ~16k buckets, not the toy default.
+
+        Point lookups, merges, and compaction all derive bucket ids from the
+        CURRENT manifest's count; time-travel reads of pre-rebucket versions
+        keep using those manifests' own persisted count. Tombstones are kept
+        (same rule as compact: a late out-of-order event must not resurrect
+        a deleted row). Pending deltas are folded in — a rebucket is also a
+        full compaction."""
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        snap = self.snapshot()
+        old_n = self.n_buckets
+        if new_n_buckets == old_n:
+            return self.current_version()
+        raw = self.read_raw(spark)
+        self.n_buckets = new_n_buckets
+        try:
+            new_buckets = list(range(new_n_buckets))
+            if raw is None:
+                new_files: dict[str, list[str]] = {}
+                stats: dict = {}
+            else:
+                folded = (
+                    lww_fold(raw)
+                    .withColumn(
+                        "_bucket",
+                        F.pmod(F.xxhash64("conv_id"), F.lit(new_n_buckets)).cast("int"),
+                    )
+                    .hint("rebalance", "_bucket")
+                    .sortWithinPartitions("_bucket", "ts")
+                )
+                rows = sum(int(s.get("rows", 0)) for s in snap["filestats"].values())
+                per_file = max(rows // max(new_n_buckets * 4, 1), 10_000)
+                _, new_files, stats = self.write_files(
+                    folded, new_buckets, max_records_per_file=per_file
+                )
+            return self.commit(
+                {
+                    "files": new_files,
+                    "deltas": {},
+                    "filestats": stats,
+                    "schema": snap["schema"],
+                    "summary": snap["summary"],
+                    "n_buckets": new_n_buckets,
+                    "rebucketed_from": old_n,
+                }
+            )
+        except Exception:
+            self.n_buckets = old_n
+            raise
 
     def commit_merge(
         self,

@@ -44,8 +44,14 @@ def changed_buckets(
     state is fully determined by its base+delta file lists). Driver-side
     manifest compare, no I/O beyond two small JSON reads."""
     a, b = table.snapshot(v_from), table.snapshot(v_to)
+    # span both snapshots' bucket universes (a rebucket between the two
+    # versions changes the count; every bucket then differs by definition)
+    nb = max(
+        int(a.get("n_buckets") or table.n_buckets),
+        int(b.get("n_buckets") or table.n_buckets),
+    )
     out = []
-    for bk in range(table.n_buckets):
+    for bk in range(nb):
         k = str(bk)
         if (
             a["files"].get(k, []) != b["files"].get(k, [])
