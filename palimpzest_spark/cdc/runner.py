@@ -177,6 +177,11 @@ def main() -> None:
                          "expire = drop old snapshots + GC unreferenced files")
     ap.add_argument("--keep-last", type=int, default=5,
                     help="snapshots retained by --maintenance expire")
+    ap.add_argument("--rebucket", type=int, default=0,
+                    help="evolve the table to this hash-bucket count "
+                         "(full rewrite; lake.rebucket — run as the table "
+                         "outgrows its bucket size, e.g. from "
+                         "suggest_n_buckets on current table bytes)")
     ap.add_argument("--base", help="base conversations parquet to bootstrap from")
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint")
@@ -231,8 +236,11 @@ def main() -> None:
                     "events_per_sec": round(total / secs, 1) if secs else None})
         if rules:
             out["quarantined"] = sum(m.get("quarantined", 0) for m in ms)
-    elif not args.maintenance:
-        ap.error("nothing to do: pass --feed and/or --maintenance")
+    elif not args.maintenance and not args.rebucket:
+        ap.error("nothing to do: pass --feed, --maintenance, and/or --rebucket")
+    if args.rebucket:
+        out["rebucketed_to_version"] = table.rebucket(spark, args.rebucket)
+        out["n_buckets"] = table.n_buckets
     if args.maintenance in ("compact", "both"):
         v = table.compact(spark)
         out["compacted_to_version"] = v
