@@ -4,10 +4,16 @@ Why this exists: the north rule targets Iceberg ``MERGE INTO``, but this
 sandbox image ships no Iceberg runtime jar. The engine therefore talks to a
 tiny table-format abstraction with Iceberg's load-bearing properties:
 
-- **atomic snapshot commits**: a snapshot is an immutable JSON manifest
-  (data-file list + schema + summary); commit = write ``v{N}.json`` then
-  atomically rename a version-hint file. Readers resolve the hint, never see
-  partial state. (Iceberg: metadata.json + snapshot log.)
+- **atomic snapshot commits with optimistic concurrency**: a snapshot is an
+  immutable JSON manifest (data-file list + schema + summary); commit =
+  stage the manifest, publish ``v{N}.json`` via an atomic create-if-absent
+  (a CAS — a concurrent writer's commit at the same version raises
+  ``CommitConflictError``, nothing clobbered), then advance an advisory
+  version-hint file. Readers resolve the hint, never see partial state.
+  Maintenance rewrites validate per-bucket against their planning snapshot
+  and retry on conflict (``_commit_rewrite``); a conflicted merge surfaces
+  the broken single-writer invariant. (Iceberg: metadata.json + snapshot
+  log + CommitFailedException retry discipline.)
 - **bucket partitioning + file pruning**: data files are hash-bucketed on
   ``conv_id`` (``pmod(xxhash64(conv_id), n_buckets)``); a MERGE rewrites only
   the buckets its batch touches and carries every other file forward —
@@ -48,6 +54,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 VERSION_HINT = "version-hint.txt"
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer published the same snapshot version first
+    (Iceberg's CommitFailedException). The losing commit published nothing;
+    re-read the table state and re-derive the commit (maintenance ops like
+    ``compact`` retry automatically — a lost merge means the single-writer
+    invariant is broken and is surfaced to the caller)."""
+
 
 # engine-internal columns stored in the table alongside the public schema:
 # LWW version + tombstone flag (kept so out-of-order events arriving in later
@@ -232,9 +247,27 @@ class SnapshotLakeTable:
         """Drop cached manifests (call after expiring snapshots on disk)."""
         self._snap_cache.clear()
 
-    def commit(self, snap: dict) -> int:
-        """Atomically publish a new snapshot (write-then-rename)."""
-        new_v = self.current_version() + 1
+    def commit(self, snap: dict, expect_version: int | None = None) -> int:
+        """Atomically publish a new snapshot.
+
+        **Optimistic concurrency** (Iceberg snapshot-commit coordination):
+        the manifest is staged to a tmp file then published with
+        ``os.link`` — an atomic create-if-absent, unlike ``rename`` which
+        silently clobbers. If another writer committed ``v{N}.json`` first,
+        this commit loses the race and raises :class:`CommitConflictError`
+        with nothing published; the caller re-reads the new current snapshot
+        and re-derives its commit (``compact`` retries this way; a merge
+        treats it as a broken single-writer invariant and surfaces it). The
+        version-hint update after a won race is advisory — readers that see
+        a stale hint read an older but fully valid snapshot.
+
+        ``expect_version`` turns the publish into a true compare-and-swap:
+        the commit lands at exactly ``expect_version + 1`` or conflicts —
+        closing the window where a writer lands between a caller's
+        validation read and this publish (the maintenance-rewrite path)."""
+        new_v = (
+            expect_version if expect_version is not None else self.current_version()
+        ) + 1
         snap = dict(snap, version=new_v, committed_at=time.time())
         # bucket count rides every manifest so readers can never hash point
         # lookups with a different count than the files were written under
@@ -245,7 +278,15 @@ class SnapshotLakeTable:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, path)
+        try:
+            os.link(tmp, path)  # atomic publish-if-absent (EEXIST on race)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"snapshot v{new_v} was committed concurrently by another "
+                f"writer; re-read the table and re-derive this commit"
+            ) from None
+        os.unlink(tmp)
         hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(hint_tmp, "w") as f:
             f.write(str(new_v))
@@ -504,7 +545,8 @@ class SnapshotLakeTable:
         fs.update(filestats or {})
         return self.commit(
             {"files": files, "deltas": deltas, "filestats": fs,
-             "schema": schema_json, "summary": summary}
+             "schema": schema_json, "summary": summary},
+            expect_version=prev["version"],
         )
 
     def write_buckets(
@@ -605,8 +647,54 @@ class SnapshotLakeTable:
         _, new_files, stats = self.write_files(
             folded, todo, max_records_per_file=per_file
         )
-        return self.commit_merge(
-            todo, new_files, {}, stats, snap["schema"], snap["summary"]
+        return self._commit_rewrite(todo, new_files, stats, snap)
+
+    def _commit_rewrite(
+        self, buckets: list[int], new_files: dict, stats: dict, planned: dict
+    ) -> int:
+        """Commit a maintenance rewrite with Iceberg-style conflict
+        validation (``rewrite_data_files`` vs concurrent writers).
+
+        A rewrite is only a *perf* change, so the safe reaction to any
+        concurrency is to shrink it: before committing, every bucket whose
+        base+delta file lists changed since the PLANNING snapshot is dropped
+        from the commit (the concurrent commit added rows our fold never
+        saw — its bucket simply stays uncompacted until next maintenance),
+        and the commit carries the CURRENT summary/schema so the winner's
+        exactly-once bookkeeping and schema evolution are preserved. The
+        version-race guard in ``commit`` (atomic create-if-absent) backstops
+        writers on other nodes whose table view is stale; on that conflict
+        we re-read and re-validate, bounded."""
+        buckets = list(buckets)
+        for _attempt in range(5):
+            cur = self.snapshot()
+            safe = [
+                b for b in buckets
+                if cur["files"].get(str(b)) == planned["files"].get(str(b))
+                and cur["deltas"].get(str(b)) == planned["deltas"].get(str(b))
+            ]
+            dropped = {str(b) for b in set(buckets) - set(safe)}
+            for b in dropped:
+                for rel in new_files.get(b, []):
+                    stats.pop(rel, None)
+                    try:
+                        os.unlink(os.path.join(self.root, rel))
+                    except OSError:
+                        pass
+            new_files = {b: ps for b, ps in new_files.items() if b not in dropped}
+            buckets = safe
+            if not buckets:
+                return cur["version"]
+            try:
+                return self.commit_merge(
+                    buckets, new_files, {}, stats, cur["schema"], cur["summary"],
+                    base_snapshot=cur,
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            "maintenance rewrite lost the commit race 5 times in a row; the "
+            "table is under sustained concurrent writes — rerun it later"
         )
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
@@ -652,6 +740,10 @@ class SnapshotLakeTable:
                 _, new_files, stats = self.write_files(
                     folded, new_buckets, max_records_per_file=per_file
                 )
+            # CAS against the planning snapshot: a rebucket folds the WHOLE
+            # table, so ANY concurrent commit invalidates it — surface the
+            # conflict (rerun maintenance) rather than dropping the
+            # interloper's rows
             return self.commit(
                 {
                     "files": new_files,
@@ -661,7 +753,8 @@ class SnapshotLakeTable:
                     "summary": snap["summary"],
                     "n_buckets": new_n_buckets,
                     "rebucketed_from": old_n,
-                }
+                },
+                expect_version=snap["version"],
             )
         except Exception:
             self.n_buckets = old_n
@@ -675,11 +768,16 @@ class SnapshotLakeTable:
         filestats: dict,
         schema_json: dict,
         summary: dict,
+        base_snapshot: dict | None = None,
     ) -> int:
         """One atomic commit for a mixed merge: ``cow_buckets`` get their base
         replaced and deltas cleared (they were folded into the new base);
-        ``mor_files`` are APPENDED to their buckets' delta lists."""
-        prev = self.snapshot()
+        ``mor_files`` are APPENDED to their buckets' delta lists. The commit
+        is a CAS against the snapshot it was derived from (``base_snapshot``
+        when the caller validated one, else the current) — a concurrent
+        commit in between raises CommitConflictError instead of being
+        silently overwritten."""
+        prev = base_snapshot if base_snapshot is not None else self.snapshot()
         files = dict(prev["files"])
         deltas = dict(prev["deltas"])
         fs = dict(prev["filestats"])
@@ -694,5 +792,6 @@ class SnapshotLakeTable:
         fs.update(filestats)
         return self.commit(
             {"files": files, "deltas": deltas, "filestats": fs,
-             "schema": schema_json, "summary": summary}
+             "schema": schema_json, "summary": summary},
+            expect_version=prev["version"],
         )

@@ -241,6 +241,17 @@ def main() -> None:
     if args.rebucket:
         out["rebucketed_to_version"] = table.rebucket(spark, args.rebucket)
         out["n_buckets"] = table.n_buckets
+    # advisory: when the table has outgrown its bucket count (avg base file
+    # drifting past the 128-512 MB sweet spot), surface the suggested count —
+    # driver-side manifest arithmetic, no job; apply with --rebucket N
+    from palimpzest_spark.cdc.lake import suggest_n_buckets as _suggest
+
+    tbytes = sum(
+        int(s.get("bytes", 0)) for s in table.snapshot()["filestats"].values()
+    )
+    sug = _suggest(tbytes)
+    if sug > table.n_buckets * 2:
+        out["rebucket_suggested"] = sug
     if args.maintenance in ("compact", "both"):
         v = table.compact(spark)
         out["compacted_to_version"] = v

