@@ -908,3 +908,41 @@ def test_commit_conflict_detection_and_compact_retry(spark, tmp_path):
     _assert_state_equal(_actual(spark, table), expected)
     # the winner's exactly-once bookkeeping survived the retried commit
     assert table.last_batch_id() == 3
+
+
+def test_rebucket_between_stream_incarnations(spark, fixture_dirs, tmp_path):
+    """Partition-spec evolution mid-pipeline: kill the stream after 2
+    microbatches, rebucket the table 8→16 while it is down (an operator
+    resizing a growing table during a maintenance window), then resume from
+    the same checkpoint. The resumed incarnation reopens the table with a
+    STALE constructor bucket count and must adopt the persisted one; merges
+    continue under the new count; the final state equals the full fold."""
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=8)
+    bootstrap(spark, table, fixture_dirs["base"])
+    ckpt = str(tmp_path / "ckpt")
+
+    first = replay_stream(
+        spark, table, fixture_dirs["feed_dir"], ckpt, max_files_per_trigger=2,
+        max_batches=2,
+    )
+    assert len(first) >= 2
+
+    table.rebucket(spark, 16)
+    assert table.snapshot()["n_buckets"] == 16
+
+    # the resumed incarnation opens the table fresh with the OLD count —
+    # the persisted manifest value must win or merges would mis-bucket
+    resumed_table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=8)
+    assert resumed_table.n_buckets == 16
+    resumed = replay_stream(
+        spark, resumed_table, fixture_dirs["feed_dir"], ckpt,
+        max_files_per_trigger=2,
+    )
+    assert resumed, "resume processed nothing"
+    _assert_state_equal(_actual(spark, resumed_table), _expected(fixture_dirs))
+    # post-resume rows really live under the evolved bucket universe
+    snap = resumed_table.snapshot()
+    touched = {int(b) for b, ps in snap["files"].items() if ps} | {
+        int(b) for b, ps in snap["deltas"].items() if ps
+    }
+    assert max(touched) >= 8, "no bucket beyond the old count was ever written"
