@@ -342,6 +342,19 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="write a markdown report here")
     args = ap.parse_args()
 
+    # --steady means table >> batch BY CONSTRUCTION. With the strong-scaling
+    # defaults (16M events over 320k convs → ~1.6M-row base) the batches
+    # RIVAL the table, every merge takes the CoW path, and the reported
+    # number silently measures the bootstrap regime (~0.65 efficiency — a
+    # false FAIL measured 2026-08-18). Unless the caller overrides the
+    # geometry explicitly, pin the steady fixture that actually satisfies
+    # the regime: 8M events over 3M conversations (16.5M-row base ≫ 4M-event
+    # batches) at N=2, the committed BENCH/BASELINE.md ritual.
+    if args.steady:
+        defaults = {"events": 16_000_000, "convs": 320_000, "n": 4}
+        if (args.events, args.convs, args.n) == tuple(defaults.values()):
+            args.events, args.convs, args.n = 8_000_000, 3_000_000, 2
+
     small, big, probes = run_interleaved(args.n, args.events, args.convs, args.trials,
                                          args.buckets, args.max_part_mb,
                                          args.max_steal, weak=args.weak,
