@@ -252,6 +252,20 @@ def main() -> None:
     sug = _suggest(tbytes)
     if sug > table.n_buckets * 2:
         out["rebucket_suggested"] = sug
+    # inverse envelope check (BENCH/BASELINE.md "bucket-count operating
+    # envelope"): per-batch merge cost has a term linear in touched buckets
+    # (file + footer + manifest + task each), so microbatches must carry
+    # enough rows per bucket to amortize it — surface a warning when the
+    # feed's batch size is ~2 orders under the bucket count
+    if args.feed and out.get("batches"):
+        rows_per_bucket = out["events"] / max(out["batches"], 1) / table.n_buckets
+        if rows_per_bucket < 10:
+            out["bucket_envelope_warning"] = (
+                f"~{rows_per_bucket:.1f} events/bucket/batch — per-bucket "
+                f"file overhead dominates; use bigger microbatches "
+                f"(--files-per-batch / trigger interval) or fewer buckets "
+                f"for this table size"
+            )
     if args.maintenance in ("compact", "both"):
         v = table.compact(spark)
         out["compacted_to_version"] = v
