@@ -186,6 +186,26 @@ class SnapshotLakeTable:
     def _hint_path(self) -> str:
         return os.path.join(self.meta_dir, VERSION_HINT)
 
+    def _advance_hint(self, new_v: int) -> None:
+        """Move the advisory version hint forward to ``new_v`` — never
+        backward. Skipping the rename when the hint already holds a higher
+        version prevents two racing winners' last-writer-wins renames from
+        permanently regressing it. The check-then-rename is still a narrow
+        TOCTOU window, but a momentarily stale hint is harmless:
+        :meth:`current_version` probes forward past it."""
+        try:
+            with open(self._hint_path()) as f:
+                if int(f.read().strip()) >= new_v:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(hint_tmp, self._hint_path())
+
     def _peek_n_buckets(self) -> int | None:
         """Persisted bucket count of the current snapshot, read directly from
         the manifest file (no snapshot cache — callable from __init__).
@@ -198,11 +218,23 @@ class SnapshotLakeTable:
             return None
 
     def current_version(self) -> int:
+        """Latest committed snapshot version.
+
+        The version hint is advisory: with concurrent cross-process writers
+        two winners' hint renames can land out of order (last-writer-wins
+        rename), leaving the hint pointing at an older-but-valid snapshot.
+        Probe forward from the hint for higher v{N}.json manifests so a
+        regressed/stale hint self-heals — otherwise every later commit would
+        derive new_v from the stale hint, hit EEXIST, and wedge the table
+        for writes. O(gap+1) stat calls; gap is 0 in the steady state."""
         try:
             with open(self._hint_path()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+                v = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            v = 0
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
+            v += 1
+        return v
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -282,17 +314,16 @@ class SnapshotLakeTable:
             os.link(tmp, path)  # atomic publish-if-absent (EEXIST on race)
         except FileExistsError:
             os.unlink(tmp)
+            # fast-forward the hint past the winner so the caller's retry
+            # (which re-reads current_version) starts from fresh state even
+            # if the winner's own hint rename hasn't landed yet
+            self._advance_hint(new_v)
             raise CommitConflictError(
                 f"snapshot v{new_v} was committed concurrently by another "
                 f"writer; re-read the table and re-derive this commit"
             ) from None
         os.unlink(tmp)
-        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(hint_tmp, "w") as f:
-            f.write(str(new_v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(hint_tmp, self._hint_path())
+        self._advance_hint(new_v)
         snap.setdefault("deltas", {})
         snap.setdefault("filestats", {})
         self._cache_snapshot(new_v, snap)
@@ -583,6 +614,7 @@ class SnapshotLakeTable:
         batch_rows_by_bucket: dict[int, int],
         ratio: float = COMPACT_RATIO,
         max_delta_files: int = COMPACT_MAX_DELTA_FILES,
+        incoming_delta: bool = True,
     ) -> tuple[list[int], list[int]]:
         """Split the batch's buckets into (compact-inline, merge-on-read).
 
@@ -593,17 +625,25 @@ class SnapshotLakeTable:
         delta rows, so per-delta-row cost ≤ 1 + 1/ratio — write amplification
         is a constant, independent of table size. Small tables / bootstrap
         (base ≈ 0) always compact inline, which IS the copy-on-write plan —
-        no delta write, no extra shuffle."""
+        no delta write, no extra shuffle.
+
+        ``incoming_delta`` models the one delta file the CURRENT batch would
+        add to ``b`` if it goes merge-on-read. The merge-time split keeps the
+        default True; the 0-row overflow sweep (merge.py) passes False so a
+        probe with no incoming batch asks exactly "do the ACCUMULATED files
+        alone exceed the cap?" — without it the sweep fires one file early
+        (at 8 where the policy says >8), a silent tightening."""
         stats = self.bucket_stats()
         cow: list[int] = []
         mor: list[int] = []
+        would_add = 1 if incoming_delta else 0
         for b, n in sorted(batch_rows_by_bucket.items()):
             s = stats.get(b) or {"base_rows": 0, "delta_rows": 0, "delta_files": 0}
             pending = n + s["delta_rows"]
             if (
                 s["base_rows"] == 0
                 or pending >= ratio * s["base_rows"]
-                or s["delta_files"] + 1 > max_delta_files
+                or s["delta_files"] + would_add > max_delta_files
             ):
                 cow.append(b)
             else:

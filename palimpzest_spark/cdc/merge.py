@@ -483,10 +483,13 @@ def _merge_delta_first(
 
     # amortized compaction of overflowing buckets (separate job, may be
     # none) — same policy object as the merge-time split, so the two sites
-    # can't drift: plan_compaction with 0 new rows asks "would this bucket's
-    # accumulated deltas alone trigger compaction?"
+    # can't drift: plan_compaction with 0 new rows and incoming_delta=False
+    # asks "do this bucket's ACCUMULATED deltas alone trigger compaction?"
+    # (False because this probe carries no incoming batch file — the
+    # default True would fire the sweep one file early)
     overflow, _ = table.plan_compaction(
-        {b: 0 for b, s in table.bucket_stats().items() if s["delta_files"]}
+        {b: 0 for b, s in table.bucket_stats().items() if s["delta_files"]},
+        incoming_delta=False,
     )
     if overflow:
         table.compact(spark, overflow)

@@ -23,6 +23,7 @@ All signature computation is Arrow-vectorized numpy — no per-row Python.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 import numpy as np
@@ -66,20 +67,27 @@ def word_shingles(col: str, n: int = 3) -> F.Column:
 # --- n-gram Jaccard ----------------------------------------------------------------
 
 
-# Previous pair-call's cached intermediates, released lazily at the NEXT
-# pair call (or explicitly via release_dedup_caches). Bounded: at most one
-# generation is ever live.
-_LIVE_CACHED: list[DataFrame] = []
+# Recent pair-calls' cached intermediates, released lazily as newer
+# generations arrive (or explicitly via release_dedup_caches). Bounded:
+# at most _MAX_LIVE_GENERATIONS generations are ever live. Guarded by a
+# lock so concurrent query threads (the suite/window runner) can't corrupt
+# the list; unpersist calls happen OUTSIDE the lock (they block on the JVM).
+_LIVE_LOCK = threading.Lock()
+_LIVE_CACHED: list[list[DataFrame]] = []
+_MAX_LIVE_GENERATIONS = 2
 
 
 def release_dedup_caches() -> None:
-    """Unpersist the cached intermediates of the most recent pair call.
+    """Unpersist the cached intermediates of recent pair calls.
     Call after the returned pairs frame has been materialized (written /
     collected) when you want executor storage back immediately — e.g. at
     the end of a curation-pipeline dedup stage. Safe at any time: a pairs
     frame materialized later simply recomputes its lineage."""
-    while _LIVE_CACHED:
-        _LIVE_CACHED.pop().unpersist()
+    with _LIVE_LOCK:
+        gens, _LIVE_CACHED[:] = _LIVE_CACHED[:], []
+    for gen in gens:
+        for df in gen:
+            df.unpersist()
 
 
 def _scoped_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -92,14 +100,25 @@ def _scoped_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     sf0.1 bench, an eager ``localCheckpoint`` (round-3 ADVICE's first
     suggestion) made `dedup_minhash_docs` 8-10x slower (12-17s vs
     1.3-2.0s): the checkpoint bypasses the AQE-planned single-pass write
-    and double-materializes every pair block. Instead each call releases
-    the PREVIOUS call's generation (so a long-lived pipeline looping dedup
-    stages pins at most one stage's blocks — the ADVICE leak), and callers
-    wanting immediate release call ``release_dedup_caches()`` after
-    materializing. Unpersisting a frame another plan still references is
-    always correct in Spark (it silently recomputes)."""
-    release_dedup_caches()
-    _LIVE_CACHED.extend(cached)
+    and double-materializes every pair block. Instead each call enrolls its
+    generation and releases all but the newest _MAX_LIVE_GENERATIONS (=2),
+    so a long-lived pipeline looping dedup stages pins a bounded number of
+    blocks (the round-3 ADVICE leak) while a composition that BUILDS two
+    pair plans before materializing either (e.g. a union of two dedup
+    stages) keeps both persists effective. Build-three-then-materialize
+    would silently defeat the oldest persist (correct output, recompute
+    cost) — materialize or call ``release_dedup_caches()`` between stages
+    instead. Unpersisting a frame another plan still references is always
+    correct in Spark (it silently recomputes)."""
+    with _LIVE_LOCK:
+        _LIVE_CACHED.append(list(cached))
+        stale, _LIVE_CACHED[:] = (
+            _LIVE_CACHED[:-_MAX_LIVE_GENERATIONS],
+            _LIVE_CACHED[-_MAX_LIVE_GENERATIONS:],
+        )
+    for gen in stale:
+        for df in gen:
+            df.unpersist()
     return out
 
 

@@ -31,17 +31,15 @@ from palimpzest_spark.operators import (
 from palimpzest_spark.operators.filter import filter_records
 
 
-_TZ_PINNED: set[int] = set()
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Pin UTC once per session so timestamp values hash identically to
-    # DuckDB's naive reads (the driver's session may not come from
-    # session.get_spark, which already pins it); after that _t is a pure read.
-    key = id(spark)
-    if key not in _TZ_PINNED:
+    # Pin UTC so timestamp values hash identically to DuckDB's naive reads
+    # (the driver's session may not come from session.get_spark, which
+    # already pins it). Checked via the conf itself rather than a cached
+    # id(spark) set: id() values are reused after GC (a new session could
+    # silently skip the pin), and a conf read is cheap + self-healing if
+    # something resets the timezone mid-session.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _TZ_PINNED.add(key)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

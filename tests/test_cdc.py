@@ -397,9 +397,12 @@ def test_mor_delta_path_and_compaction(spark, tmp_path):
     # delta path; the max_delta_files cap (8) must force a compaction later
     assert metrics[0]["delta_buckets"] > 0 and metrics[0]["compacted_buckets"] == 0
     # the cap is COMPACT_MAX_DELTA_FILES=8 (shared policy with
-    # plan_compaction): a bucket touched by every batch accumulates its 8th
-    # delta file at batch index 7, which is the earliest the sweep can fire
-    assert any(m["compacted_buckets"] > 0 for m in metrics[7:])
+    # plan_compaction): the 0-row overflow sweep (incoming_delta=False)
+    # fires only once accumulated files EXCEED the cap — a bucket touched by
+    # every batch holds its 9th delta file after batch index 8, which is the
+    # earliest the sweep can fire
+    assert all(m["compacted_buckets"] == 0 for m in metrics[:8])
+    assert any(m["compacted_buckets"] > 0 for m in metrics[8:])
 
     expected = fold(
         pd.read_parquet(base),
@@ -946,3 +949,43 @@ def test_rebucket_between_stream_incarnations(spark, fixture_dirs, tmp_path):
         int(b) for b, ps in snap["deltas"].items() if ps
     }
     assert max(touched) >= 8, "no bucket beyond the old count was ever written"
+
+
+def test_version_hint_regression_self_heals(tmp_path):
+    """A stale/regressed version hint (possible when two cross-process
+    winners' last-writer-wins hint renames land out of order) must not wedge
+    the table: current_version probes forward past the hint, commits derive
+    new_v from the true max manifest, and the hint only ever advances."""
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=4)
+    snap = {"files": {}, "deltas": {}, "filestats": {}, "schema": None,
+            "summary": {"last_batch_id": -1}}
+    for _ in range(3):
+        table.commit(dict(snap))
+    assert table.current_version() == 3
+
+    # simulate the out-of-order rename: hint regresses to v1
+    with open(table._hint_path(), "w") as f:
+        f.write("1")
+    fresh = SnapshotLakeTable(str(tmp_path / "lake"))  # no warm cache
+    assert fresh.current_version() == 3  # forward probe heals the read
+
+    # a commit from the regressed state lands at v4, not EEXIST-on-v2
+    v = fresh.commit(dict(snap))
+    assert v == 4
+    with open(fresh._hint_path()) as f:
+        assert int(f.read().strip()) == 4
+
+    # _advance_hint never regresses: replaying an old advance is a no-op
+    fresh._advance_hint(2)
+    with open(fresh._hint_path()) as f:
+        assert int(f.read().strip()) == 4
+
+    # a CAS loser fast-forwards the hint past the winner before raising
+    with open(fresh._hint_path(), "w") as f:
+        f.write("1")
+    from palimpzest_spark.cdc.lake import CommitConflictError
+
+    with pytest.raises(CommitConflictError):
+        fresh.commit(dict(snap), expect_version=1)  # v2 already exists
+    with open(fresh._hint_path()) as f:
+        assert int(f.read().strip()) >= 2
