@@ -2149,27 +2149,32 @@ def source_csv_roundtrip(spark, sf_dir):
 
 def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, shingle_n: int = 3) -> str:
     """Generate the DuckDB twin of minhash_lsh_pairs(token_hash='md5',
-    band_hash='md5') from the SAME seeded permutation parameters the engine
-    uses (functions/dedup._perm_params, seed 42) — the oracle recomputes
-    token hashes, gram combines, all 64 universal-hash minima, band buckets,
-    candidate join, and signature-agreement verification."""
-    from palimpzest_spark.functions.dedup import _GRAM_C, _MERSENNE, _perm_params
+    band_hash='md5') — the oracle recomputes token hashes, gram combines,
+    all 64 random-oracle permutation minima (permutation i of gram g =
+    first 15 md5 hex digits of "<g>:<i>", the avalanche family that
+    replaced the r1-r4 piecewise-monotone ``(a*h+b) mod 2^61-1`` map —
+    see functions/dedup._splitmix64's docstring for the measured +0.5
+    est_jaccard bias that forced the change), band buckets, candidate
+    join, and signature-agreement verification."""
+    from palimpzest_spark.functions.dedup import _GRAM_C
 
-    a, b = _perm_params(num_perm, seed=42)
     rows = num_perm // bands
     c1, c2, c3 = _GRAM_C[:shingle_n]
-    perm_values = ", ".join(
-        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
-    )
     # first 8 md5 hex digits of a token -> uint32, as a bigint fold
     th = (
         "list_reduce([cast(0 AS bigint)] || list_transform(range(1, 9), "
         "j -> cast(strpos('0123456789abcdef', substring(md5({t}), cast(j AS int), 1)) - 1 "
         "AS bigint)), (x, y) -> x * 16 + y)"
     )
+    # first 15 md5 hex digits -> 60-bit bigint (matches the engine's
+    # int(md5(f"{gram}:{i}").hexdigest()[:15], 16), dedup.py md5 tier)
+    ph = (
+        "list_reduce([cast(0 AS bigint)] || list_transform(range(1, 16), "
+        "j -> cast(strpos('0123456789abcdef', substring(md5({s}), cast(j AS int), 1)) - 1 "
+        "AS bigint)), (x, y) -> x * 16 + y)"
+    )
     return f"""
-WITH perms(i, a, b) AS (VALUES {perm_values}),
-d AS (
+WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
   WHERE doc_id % 3 = 0 AND len(regexp_split_to_array(trim(text), '\\s+')) >= {shingle_n}
@@ -2182,9 +2187,15 @@ g AS (
                 + {c3} * {th.format(t="toks[cast(i AS int) + 2]")}) % 4294967296)) AS gram
   FROM d
 ),
+gd AS (SELECT DISTINCT gram FROM g),
+pt AS (
+  SELECT gram, p.i AS i,
+         {ph.format(s="cast(gram AS varchar) || ':' || cast(p.i AS varchar)")} AS phash
+  FROM gd CROSS JOIN range(0, {num_perm}) p(i)
+),
 mh AS (
-  SELECT doc_id, p.i, min((p.a * g.gram + p.b) % {_MERSENNE}) AS mh
-  FROM g CROSS JOIN perms p GROUP BY doc_id, p.i
+  SELECT g.doc_id, pt.i, min(pt.phash) AS mh
+  FROM g JOIN pt ON g.gram = pt.gram GROUP BY g.doc_id, pt.i
 ),
 sig AS (SELECT doc_id, list(mh ORDER BY i) AS signature FROM mh GROUP BY doc_id),
 banded AS (
@@ -2220,10 +2231,10 @@ def dedup_minhash_oracle(spark, sf_dir):
     (functions/dedup.minhash_lsh_pairs — vectorized reduceat signatures,
     band-bucket equi-join, signature-agreement verify) run on its
     DuckDB-recomputable hash tier (token_hash='md5', band_hash='md5'; the
-    universal-hash (a,b) permutation params are the engine's own seeded
-    values, inlined into the oracle SQL at import). Every stage of the
-    flagship dedup path — gram hashing, 64 permutation minima, banding,
-    candidate generation, verification — is value-hash-checked."""
+    permutation family is a random oracle — md5 of "<gram>:<ordinal>" —
+    which DuckDB replays verbatim). Every stage of the flagship dedup
+    path — gram hashing, 64 permutation minima, banding, candidate
+    generation, verification — is value-hash-checked."""
     docs = _t(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 3 == 0)
         & (F.size(F.split(F.trim("text"), r"\s+")) >= 3)

@@ -99,6 +99,85 @@ def test_minhash_deterministic_across_runs(spark, docs):
         assert list(s1[i]) == list(s2[i])
 
 
+def test_minhash_jvm_plan_hashes_grams_once(spark, docs):
+    """The JVM signature tier must evaluate the shingling + string hash ONCE
+    per row, with the 64 permutations rehashing the 8-byte longs — not have
+    CollapseProject re-inline the gram expression into every permutation
+    (that would re-split/re-join the text 64x per row)."""
+    # parquet-backed source: a LocalRelation fixture would be constant-folded
+    # by ConvertToLocalRelation, leaving no projects to inspect
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.minhash_signatures(pq)  # default tier = jvm
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    # the shingle builder (array_join over slices) appears once, not 64x
+    assert plan.count("array_join") == 1, plan
+    assert plan.count("split(") <= 2, plan  # split + maybe size-guard, never 64
+
+    # zero Python stages: no mapInPandas / ArrowEvalPython in the plan
+    phys = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys and "Arrow" not in phys, phys
+
+
+def test_minhash_tiers_agree_on_dup_structure(spark, docs):
+    """All three hash tiers (jvm codegen / crc32 numpy / md5 oracle) are
+    different permutation families, but on the planted fixture each must
+    find the same exact-dup and near-dup pairs and nothing else."""
+    expect = {(0, 1), (0, 2), (1, 2), (0, 6), (1, 6), (2, 6), (0, 3), (1, 3), (2, 3), (3, 6)}
+    for tier in ("jvm", "crc32", "md5"):
+        bh = "md5" if tier == "md5" else "xxhash64"
+        pairs = dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, token_hash=tier, band_hash=bh
+        ).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert got == expect, (tier, got)
+
+
+def test_minhash_estimator_unbiased_on_token_lattice(spark):
+    """Regression pin for the r5 permutation-family fix: the r1-r4
+    ``(a*h+b) mod 2^61-1`` family with a < 2^31 was piecewise monotone in
+    the 32-bit gram hash, so on a low-entropy shared-vocabulary lattice the
+    per-permutation argmins coincided across UNRELATED documents and
+    est_jaccard ran ~+0.5 biased (49 false near-dup pairs at t=0.5 on
+    sf0.01). Avalanche families (splitmix64 / xxhash64 / md5) must estimate
+    true Jaccard within noise: |mean bias| well under the old +0.5."""
+    import itertools
+    import re
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{j}" for j in range(40)]
+    base = rng.choice(vocab, size=30, replace=True).tolist()
+    rows = []
+    for i in range(14):  # doc i = base with i token substitutions → jaccard spread
+        toks = list(base)
+        for pos in rng.choice(30, size=i, replace=False):
+            toks[pos] = str(rng.choice(vocab))
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def grams(s, n=3):
+        toks = re.split(r"\s+", s.strip())
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+    g = {i: grams(s) for i, s in rows}
+    true_j = {
+        (a, b): len(g[a] & g[b]) / len(g[a] | g[b])
+        for a, b in itertools.combinations(sorted(g), 2)
+    }
+    for tier in ("jvm", "crc32"):
+        est = dedup.minhash_lsh_pairs(
+            df, threshold=0.0, token_hash=tier
+        ).toPandas()
+        biases = [
+            row.est_jaccard - true_j[(row.id_a, row.id_b)]
+            for row in est.itertuples()
+        ]
+        assert biases, "banding must surface candidate pairs on a shared lattice"
+        mean_bias = sum(biases) / len(biases)
+        # 64 perms → per-pair sd ~ sqrt(j(1-j)/64) ≲ 0.063; mean over
+        # many pairs is tighter. 0.1 is far below the broken family's +0.5.
+        assert abs(mean_bias) < 0.1, (tier, mean_bias)
+
+
 def test_simhash_pairs(spark, docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=6).toPandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
