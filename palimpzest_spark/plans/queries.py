@@ -457,25 +457,27 @@ DRIVER_WINDOW: list[str] = [
     "pivot_percentile_suite",
     # events / streaming twins / temporal joins
     "events_window_suite",
-    "events_json_extract",
     "asof_join_click_view",
     "range_join_event_windows",
-    # text analysis
+    # text analysis + scalar fn library (events_json_extract folded in r5)
     "text_metrics_suite",
-    # dedup family
+    # file sources (jsonl/csv/orc encode→parse round-trips)
+    "source_roundtrip_suite",
+    # dedup family (pair-generator variants compressed into one suite r5)
     "dedup_exact_docs",
-    "dedup_ngram_jaccard",
+    "dedup_pairs_suite",
     "dedup_minhash_oracle",
-    "dedup_simhash_oracle",
-    "dedup_winnow_overlap",
     "dedup_cluster_canonical",
     "embedding_neardup_oracle",
-    # similarity / retrieval
-    "ann_cosine_topk",
-    "ann_lsh_topk_oracle",
+    # similarity / retrieval (exact + LSH + IVF tiers in one suite r5)
+    "ann_topk_suite",
     "sem_topk_attach_oracle",
     "sem_embedding_join_oracle",
     "bm25_search_docs",
+    # multimodal (audio decode vs numpy-quantization-replay oracle)
+    "multimodal_audio_features",
+    # end-to-end training-data export (filter→quality→tokens→export shape)
+    "training_export_pipeline",
     # semantic operators
     "sem_filter_map_oracle",
     "sem_join_oracle",
@@ -490,7 +492,8 @@ DRIVER_WINDOW: list[str] = [
     "pack_sequences_oracle",
     "quality_audit_events",
     # CDC flagship (LWW replay, schema evolution, exactly-once kill/resume,
-    # CDF, incremental views, bucket point lookups, zone-map range reads)
+    # CDF, incremental views, bucket point lookups, zone-map range reads,
+    # full-replay final state + transcript render)
     "cdc_lww_replay_events",
     "cdc_schema_evolution_replay",
     "cdc_stream_kill_resume",
@@ -498,6 +501,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_rollup_view_incremental",
     "cdc_point_lookup_convs",
     "cdc_ts_range_read",
+    "cdc_extras_suite",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -48,13 +48,17 @@ SUITES: dict[str, list[str]] = {
         "sessionization",
     ],
     # training-data op: text analysis (token/quality/lang-id/repetition/
-    # NFC normalization) over documents
+    # NFC normalization) over documents, plus the scalar-function-library
+    # json-extraction query (SURVEY row 43 spans text AND json/date fns —
+    # folded here in r5 to free its window slot; different column sets
+    # union cleanly by name)
     "text_metrics_suite": [
         "text_token_count",
         "text_quality",
         "text_lang_id",
         "text_repetition_stats",
         "text_normalize_docs",
+        "events_json_extract",
     ],
     # training-data op: deterministic sampling (Bernoulli / stratified /
     # weighted mixture / exact-k) — missed the driver window two rounds
@@ -64,6 +68,38 @@ SUITES: dict[str, list[str]] = {
         "sample_stratified_docs",
         "sample_weighted_mixture",
         "sample_topk_deterministic",
+    ],
+    # --- round-5 suites (VERDICT r4 "Next round" #3): pull the remaining
+    # outside-window oracle evidence under the driver hash -----------------
+    # SURVEY row 3: file-source round-trips (JSONL / CSV / ORC), each an
+    # encode→parse→verify loop whose oracle replays the parse contract
+    "source_roundtrip_suite": [
+        "source_jsonl_roundtrip",
+        "source_csv_roundtrip",
+        "source_orc_roundtrip",
+    ],
+    # CDC extras: whole-table final state after full replay (the north
+    # rule's per-turn text-equality invariant, table-shaped) + the rendered
+    # per-conversation transcript view
+    "cdc_extras_suite": [
+        "cdc_replay_final_state",
+        "cdc_transcript_render",
+    ],
+    # SURVEY rows 37-38: the three ANN tiers (exact cosine / LSH-bucketed /
+    # IVF integer-dot) in one slot — IVF was oracle-backed in r4 but never
+    # driver-hashed
+    "ann_topk_suite": [
+        "ann_cosine_topk",
+        "ann_lsh_topk_oracle",
+        "ann_ivf_topk_oracle",
+    ],
+    # dedup pair-generator variants (n-gram Jaccard AllPairs / SimHash
+    # pigeonhole banding / winnowing fingerprints) — same (id_a, id_b)
+    # shape with a per-variant score column
+    "dedup_pairs_suite": [
+        "dedup_ngram_jaccard",
+        "dedup_simhash_oracle",
+        "dedup_winnow_overlap",
     ],
 }
 

@@ -38,17 +38,14 @@ def test_window_covers_every_operator_family():
         "window_running_sum",        # analytic windows
         "pivot_percentile_suite",    # pivot + quantiles
         "events_window_suite",       # tumbling/sliding/session windows
-        "events_json_extract",       # scalar fn library (json)
-        "text_metrics_suite",        # text analysis
+        "text_metrics_suite",        # text analysis + scalar fn library (json)
+        "source_roundtrip_suite",    # jsonl/csv/orc file sources
         "dedup_exact_docs",
-        "dedup_ngram_jaccard",
+        "dedup_pairs_suite",         # ngram-jaccard + simhash + winnowing
         "dedup_minhash_oracle",
-        "dedup_simhash_oracle",
-        "dedup_winnow_overlap",
         "dedup_cluster_canonical",   # connected components
         "embedding_neardup_oracle",
-        "ann_cosine_topk",           # exact top-k
-        "ann_lsh_topk_oracle",       # LSH top-k
+        "ann_topk_suite",            # exact + LSH + IVF top-k tiers
         "sem_topk_attach_oracle",    # per-record TopKOp
         "sem_embedding_join_oracle", # embedding join
         "bm25_search_docs",          # retrieval
@@ -70,6 +67,9 @@ def test_window_covers_every_operator_family():
         "cdc_rollup_view_incremental",
         "cdc_point_lookup_convs",
         "cdc_ts_range_read",
+        "cdc_extras_suite",          # full-replay final state + transcript render
+        "multimodal_audio_features", # audio decode vs quantization-replay oracle
+        "training_export_pipeline",  # end-to-end export pipeline
     }
     in_window = set(DRIVER_WINDOW)
     assert required <= in_window, f"families missing: {sorted(required - in_window)}"
