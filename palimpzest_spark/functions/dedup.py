@@ -281,6 +281,18 @@ def _minhash_signatures_jvm(
       algebraically universal, but xxhash64 is an avalanche mixer, which is
       what the banding probability model actually needs; it is deterministic
       across processes/JVMs (unlike builtin hash()).
+
+    Measured alternatives (sf0.1, local[32], interleaved steal-clean cold
+    trials, 2026-08-18) before settling on this shape: (a) Catalyst HOFs
+    (``transform``/``array_min``) are CodegenFallback — interpreted per
+    element — so an explode→hash-aggregate formulation (64 codegen ``min``
+    aggs over exploded gram rows, zero HOFs) was tried: ~30% SLOWER (5.6s
+    vs 4.2s sig-only) — exploding ~10M gram rows + the groupBy shuffle
+    costs more than the HOF interpretation saves. (b) The numpy
+    ``mapInPandas`` tier measures within window noise of this tier (sig-only
+    3.9 vs 4.2s; full minhash_lsh_pairs 5.2 vs 5.4s in a repeat window; one
+    window showed numpy 1.4x faster but did not reproduce). Equal cost with
+    zero Python workers decides for this tier as the default.
     """
     grams = word_shingles("_t", shingle_n)
     base = df.select(
