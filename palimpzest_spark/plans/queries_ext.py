@@ -417,14 +417,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.6, n=3)
 
 
-@_q("dedup_minhash_docs")  # rows-only fast tier (signature hashing is engine-internal); oracle twin: dedup_minhash_oracle (md5 tier)
+@_q("dedup_minhash_docs")
 def dedup_minhash_docs(spark, sf_dir):
+    """Rows-only fast tier (xxhash64 signature family is engine-internal,
+    not DuckDB-recomputable); oracle twin: `dedup_minhash_oracle` (md5
+    tier, value-hash green)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
-@_q("dedup_simhash_docs")  # rows-only fast tier (xxhash bit-sampling engine-internal); oracle twin: dedup_simhash_oracle (md5 tier)
+@_q("dedup_simhash_docs")
 def dedup_simhash_docs(spark, sf_dir):
+    """Rows-only fast tier (xxhash bit-sampling is engine-internal); oracle
+    twin: `dedup_simhash_oracle` (md5 tier, value-hash green)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
@@ -452,19 +457,24 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@_q("ann_lsh_topk")  # rows-only fast tier (bucket layout is engine-internal); oracle twin: ann_lsh_topk_oracle (inlined hyperplanes)
+@_q("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
+    """Rows-only fast tier (bucket layout is engine-internal); oracle twin:
+    `ann_lsh_topk_oracle` (hyperplanes inlined into the SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = similarity.lsh_top_k(emb, list(query), k=10, bits=8, multiprobe_hamming=2)
     return out.select("vec_id", "label")
 
 
-@_q("ann_ivf_topk")  # rows-only fast tier (inverted-list layout is engine-internal); oracle twin: ann_ivf_topk_oracle (integer-dot tier)
+@_q("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
     """IVF scale tier: seeded spherical k-means coarse quantizer (trained on
     a bounded sample), corpus materialized partitioned by nearest centroid,
-    query probes nprobe inverted lists via parquet partition pruning."""
+    query probes nprobe inverted lists via parquet partition pruning.
+
+    Rows-only (float k-means state is data-dependent at plan time); oracle
+    twin: `ann_ivf_topk_oracle` (integer-dot tier, value-hash green)."""
     import os
     import tempfile
 
@@ -484,13 +494,16 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-@_q("embedding_neardup")  # rows-only fast tier (LSH blocking engine-internal); oracle twin: embedding_neardup_oracle
+@_q("embedding_neardup")
 def embedding_neardup(spark, sf_dir):
     """Random embeddings are never cosine-0.9 close, so the raw table made
     this a vacuous 0-row check (VERDICT r1 #5). Plant deterministic near-dups:
     jittered copies of the first 50 vectors (id + 1e6), pure JVM transform —
     the LSH OR-construction must recover ~all planted pairs and the exact
-    cosine verify must keep only them."""
+    cosine verify must keep only them.
+
+    Rows-only fast tier (float hyperplane buckets engine-internal); oracle
+    twin: `embedding_neardup_oracle` (value-hash green)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     jitter = F.transform(
         "embedding",
@@ -512,13 +525,17 @@ def embedding_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@_q("cdc_time_travel_changes")  # rows-only fast tier (snapshot manifests engine-internal); oracle twin: cdc_cdf_between_versions (deterministic feed)
+@_q("cdc_time_travel_changes")
 def cdc_time_travel_changes(spark, sf_dir):
     """Change-data-feed between lake snapshots: replay a deterministic feed
     in 2 batches, then read the net row-level inserts/updates/deletes from
     the first batch's snapshot to the current one (``cdc/timetravel.py``,
     manifest-pruned to changed buckets). Fold-oracle equality gates live in
-    tests/test_timetravel.py."""
+    tests/test_timetravel.py.
+
+    Rows-only (snapshot versions are run-local lake state, not a DuckDB
+    view); oracle twin: `cdc_cdf_between_versions` (same CDF read path,
+    value-hash green)."""
     import tempfile
 
     from palimpzest_spark.cdc import feedgen
@@ -1057,12 +1074,15 @@ def dedup_winnow_overlap(spark, sf_dir):
     )
 
 
-@_q("sem_topk_attach")  # rows-only fast tier (embed stub not SQL-expressible); oracle twin: sem_topk_attach_oracle
+@_q("sem_topk_attach")
 def sem_topk_attach(spark, sf_dir):
     """Per-record retrieve-and-attach (reference TopKOp,
     reference topk.py:122-155,233-278): embed each document's text, attach
     its top-3 nearest embedding-corpus rows as a rank-ordered array column,
-    then explode to flat (doc_id, rank, vec_id) rows for the driver check."""
+    then explode to flat (doc_id, rank, vec_id) rows for the driver check.
+
+    Rows-only fast tier (float embed stub not SQL-expressible); oracle
+    twin: `sem_topk_attach_oracle` (value-hash green)."""
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.col("doc_id") < 20))
@@ -1079,12 +1099,18 @@ def sem_topk_attach(spark, sf_dir):
     )
 
 
-@_q("multimodal_features")  # rows-only: JPEG tier is lossy, so ground truth would need an independent decoder; PNG half is codec-gated in tests/test_functions.py
+@_q("multimodal_features")
 def multimodal_features(spark, sf_dir):
     """REAL image decode: deterministic PNGs AND baseline JPEGs (stdlib
     codecs, seeded by asset id) → header metadata + pixel-statistics
     features. The r1 version fed text bytes to a hash stub; this exercises
-    decode_png and decode_jpeg end-to-end on alternating assets."""
+    decode_png and decode_jpeg end-to-end on alternating assets.
+
+    Rows-only: no SQL oracle — binary image decode is not
+    DuckDB-expressible, and the JPEG tier is lossy so pixel ground truth
+    needs an independent decoder; gated instead by codec ground-truth
+    pytest (tests/test_functions.py, tests/test_sources.py) against
+    hand-decoded fixtures."""
     import numpy as np
 
     from palimpzest_spark.sources.jpeg_codec import encode_jpeg
@@ -1196,8 +1222,10 @@ def multimodal_audio_features(spark, sf_dir):
     ).orderBy("asset_id")
 
 
-@_q("sem_rag_convert")  # rows-only fast tier (inference stub is engine-internal); oracle twin: sem_rag_oracle (md5 tier)
+@_q("sem_rag_convert")
 def sem_rag_convert(spark, sf_dir):
+    """Rows-only fast tier (crc32 inference stub is engine-internal); oracle
+    twin: `sem_rag_oracle` (md5 tier, value-hash green)."""
     from palimpzest_spark.operators import strategies as S
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -1205,8 +1233,10 @@ def sem_rag_convert(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_split_convert")  # rows-only fast tier (crc32 inference stub engine-internal); oracle twin: sem_split_convert_oracle (md5 tier)
+@_q("sem_split_convert")
 def sem_split_convert(spark, sf_dir):
+    """Rows-only fast tier (crc32 inference stub is engine-internal); oracle
+    twin: `sem_split_convert_oracle` (md5 tier, value-hash green)."""
     from palimpzest_spark.operators import strategies as S
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -1215,8 +1245,10 @@ def sem_split_convert(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_mixture_of_agents")  # rows-only fast tier (crc32 inference stub engine-internal); oracle twin: sem_mixture_oracle (md5 tier)
+@_q("sem_mixture_of_agents")
 def sem_mixture_of_agents(spark, sf_dir):
+    """Rows-only fast tier (crc32 inference stub is engine-internal); oracle
+    twin: `sem_mixture_oracle` (md5 tier, value-hash green)."""
     from palimpzest_spark.operators import strategies as S
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1224,8 +1256,10 @@ def sem_mixture_of_agents(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_aggregate_by_lang")  # rows-only fast tier (crc32 inference stub engine-internal); oracle twin: sem_aggregate_oracle (md5 tier)
+@_q("sem_aggregate_by_lang")
 def sem_aggregate_by_lang(spark, sf_dir):
+    """Rows-only fast tier (crc32 inference stub is engine-internal); oracle
+    twin: `sem_aggregate_oracle` (md5 tier, value-hash green)."""
     from palimpzest_spark.functions import text as XT
     from palimpzest_spark.operators import strategies as S
 
@@ -1235,10 +1269,13 @@ def sem_aggregate_by_lang(spark, sf_dir):
     return out.orderBy("lang")
 
 
-@_q("sem_critique_convert")  # rows-only fast tier (inference stub engine-internal); oracle twin: sem_critique_oracle (md5 tier)
+@_q("sem_critique_convert")
 def sem_critique_convert(spark, sf_dir):
     """Critique-and-refine physical strategy (critique_and_refine.py:18-214):
-    base → critic → refine chained vectorized UDF columns, one map stage."""
+    base → critic → refine chained vectorized UDF columns, one map stage.
+
+    Rows-only fast tier (crc32 inference stub is engine-internal); oracle
+    twin: `sem_critique_oracle` (md5 tier, value-hash green)."""
     from palimpzest_spark.operators import strategies as S
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
@@ -1246,11 +1283,15 @@ def sem_critique_convert(spark, sf_dir):
     return out.select("doc_id", "_sem_out").orderBy("doc_id")
 
 
-@_q("sem_embedding_join")  # rows-only fast tier (learned band + stub judge engine-internal); oracle twin: sem_embedding_join_oracle (identity-embed tier)
+@_q("sem_embedding_join")
 def sem_embedding_join(spark, sf_dir):
     """EmbeddingJoin with LEARNED thresholds (ref join.py:706-746): sample
     pairs, judge them, fit [lo, hi], short-circuit out-of-band pairs. Blocked
-    on lang to bound the pair space (the unblocked path is guarded)."""
+    on lang to bound the pair space (the unblocked path is guarded).
+
+    Rows-only fast tier (learned band + stub judge engine-internal); oracle
+    twin: `sem_embedding_join_oracle` (identity-embed tier, value-hash
+    green)."""
     from palimpzest_spark.functions import text as XT
     from palimpzest_spark.operators import strategies as S
 
@@ -1366,12 +1407,15 @@ def xls_tables_fanout(spark, sf_dir):
     ).orderBy("filename", "_cardinality_idx")
 
 
-@_q("lineage_flat_map")  # rows-only fast tier (_id derivation hash is engine-internal); oracle twin: lineage_flat_map_oracle (sha256 replay)
+@_q("lineage_flat_map")
 def lineage_flat_map(spark, sf_dir):
     """Provenance columns through map → flat_map (records.py:28-83 contract):
     deterministic _id from the derivation (op, parent id, cardinality idx),
     _parent_id linking child to parent — VERDICT r1 'What's wrong' lineage
-    coverage gap. The pytest twin asserts cross-run stability."""
+    coverage gap. The pytest twin asserts cross-run stability.
+
+    Rows-only fast tier (_id derivation hash is engine-internal); oracle
+    twin: `lineage_flat_map_oracle` (sha256 replay, value-hash green)."""
     from palimpzest_spark import lineage as L
     from palimpzest_spark.operators.convert import map_expr
 
@@ -1615,12 +1659,15 @@ def percentile_by_type(spark, sf_dir):
     )
 
 
-@_q("pack_documents_tokens")  # rows-only fast tier (bin assignment is engine-internal); oracle twin: pack_sequences_oracle (recursive-CTE replay)
+@_q("pack_documents_tokens")
 def pack_documents_tokens(spark, sf_dir):
     """Sequence packing (functions/packing.py): whitespace token counts →
     2048-token bins via grouped first-fit-decreasing. Invariant gates
     (every doc exactly once, no bin over budget, utilization bound) live in
-    tests/test_packing.py; the driver checks rows (= one per doc) + schema."""
+    tests/test_packing.py; the driver checks rows (= one per doc) + schema.
+
+    Rows-only fast tier (bin assignment is engine-internal); oracle twin:
+    `pack_sequences_oracle` (recursive-CTE replay, value-hash green)."""
     from palimpzest_spark.functions.packing import pack_sequences
 
     docs = _t(spark, sf_dir, "documents").select(

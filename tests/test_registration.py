@@ -90,3 +90,27 @@ def test_rows_only_queries_registered_after_all_oracle_backed():
     assert all(n not in ORACLE_SQL for n in names[first_rows_only:]), (
         "oracle-backed query registered after a rows-only one"
     )
+
+
+def test_every_rows_only_query_justifies_itself():
+    """VERDICT r4 #5: each rows-only query's docstring must either name its
+    registered oracle-backed twin (`oracle twin: \\`name\\``) or state why no
+    SQL oracle can exist (`no SQL oracle`). This keeps the weaker rows-only
+    check an explicit, reviewed decision rather than a silent omission."""
+    import re
+
+    for n, fn in QUERIES.items():
+        if n in ORACLE_SQL:
+            continue
+        doc = fn.__doc__ or ""
+        m = re.search(r"oracle\s+twin:\s*`(\w+)`", doc)
+        if m:
+            twin = m.group(1)
+            assert twin in ORACLE_SQL, (
+                f"{n}: claimed oracle twin {twin!r} is not oracle-backed"
+            )
+        else:
+            assert "no SQL oracle" in doc, (
+                f"rows-only query {n!r} has neither an oracle-twin line nor "
+                f"a 'no SQL oracle' justification in its docstring"
+            )
