@@ -1101,19 +1101,21 @@ def sem_topk_attach(spark, sf_dir):
 
 @_q("multimodal_features")
 def multimodal_features(spark, sf_dir):
-    """REAL image decode: deterministic PNGs AND baseline JPEGs (stdlib
-    codecs, seeded by asset id) → header metadata + pixel-statistics
-    features. The r1 version fed text bytes to a hash stub; this exercises
-    decode_png and decode_jpeg end-to-end on alternating assets.
+    """REAL image decode: deterministic PNGs, baseline JPEGs, AND
+    progressive (SOF2) JPEGs (stdlib codecs, seeded by asset id) → header
+    metadata + pixel-statistics features. The r1 version fed text bytes to
+    a hash stub; this exercises decode_png and decode_jpeg end-to-end —
+    every third JPEG asset is progressive (multi-scan spectral selection +
+    successive approximation through the same decode path).
 
     Rows-only: no SQL oracle — binary image decode is not
     DuckDB-expressible, and the JPEG tier is lossy so pixel ground truth
     needs an independent decoder; gated instead by codec ground-truth
-    pytest (tests/test_functions.py, tests/test_sources.py) against
-    hand-decoded fixtures."""
+    pytest (tests/test_functions.py: progressive decode must be
+    pixel-identical to baseline decode of the same coefficients)."""
     import numpy as np
 
-    from palimpzest_spark.sources.jpeg_codec import encode_jpeg
+    from palimpzest_spark.sources.jpeg_codec import encode_jpeg, encode_jpeg_progressive
     from palimpzest_spark.sources.png_lite import encode_png
 
     assets_raw = []
@@ -1121,7 +1123,9 @@ def multimodal_features(spark, sf_dir):
         rng = np.random.default_rng(1000 + i)
         w, h = 4 + i % 5, 3 + i % 4
         px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        if i % 2:
+        if i % 6 == 5:
+            assets_raw.append((i, encode_jpeg_progressive(px), "jpeg"))
+        elif i % 2:
             assets_raw.append((i, encode_jpeg(px), "jpeg"))
         else:
             assets_raw.append((i, encode_png(px), "png"))

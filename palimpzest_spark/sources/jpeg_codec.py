@@ -1,15 +1,22 @@
 """Stdlib+numpy baseline JPEG codec (no PIL/libjpeg in this container).
 
-Decodes baseline sequential DCT JPEGs (SOF0) — the overwhelmingly common
-variant — per the public ITU-T.81 spec: marker parse, canonical Huffman
-tables (DHT), entropy decode with byte-unstuffing and restart markers,
-dequantize, 8x8 inverse DCT, chroma upsampling for subsampled scans
-(4:2:0 / 4:2:2), YCbCr->RGB. Progressive (SOF2) and arithmetic-coded
-variants raise a named NotImplementedError.
+Decodes baseline sequential DCT JPEGs (SOF0) AND progressive DCT JPEGs
+(SOF2) — together the overwhelmingly common variants — per the public
+ITU-T.81 spec: marker parse, canonical Huffman tables (DHT), entropy
+decode with byte-unstuffing and restart markers, dequantize, 8x8 inverse
+DCT, chroma upsampling for subsampled scans (4:2:0 / 4:2:2), YCbCr->RGB.
+Progressive decode implements the full G.2 scan repertoire: interleaved
+and non-interleaved DC first scans, DC successive-approximation
+refinement, AC spectral-selection first scans with EOB runs, and AC
+refinement with inline correction bits. Lossless / hierarchical /
+arithmetic-coded variants raise a named NotImplementedError.
 
-The encoder is the spec's mirror (Annex K quantization + Huffman tables,
-4:4:4 or 4:2:0), used to synthesize test fixtures without external
-tools — the same discipline as ``wav_lite``/``png_lite``.
+The encoders are the spec's mirror (Annex K quantization + Huffman
+tables; baseline 4:4:4 or 4:2:0, progressive with a libjpeg-style scan
+script), used to synthesize test fixtures without external tools — the
+same discipline as ``wav_lite``/``png_lite``. Baseline and progressive
+encode the SAME quantized coefficients, so cross-decoding must be
+pixel-exact — the ground-truth relation the tests pin.
 
 Pure functions over bytes; the engine calls them inside Arrow-batched
 ``mapInPandas`` (``functions/multimodal.py``).
@@ -187,12 +194,15 @@ class _BitReader:
         return v
 
     def align_to_marker(self) -> int:
-        """Byte-align and consume an RSTn marker; returns its low nibble."""
+        """Byte-align and consume an RSTn marker; returns its low nibble.
+        Skips pad bytes AND an unread 0xFF pad byte's stuffed 0x00 — both can
+        legally precede the marker when the encoder's 1-fill lands on 0xFF."""
         self.acc = 0
         self.n = 0
-        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
+        while not (
+            self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
             self.pos += 1
-        assert self.data[self.pos] == 0xFF, "expected restart marker"
         m = self.data[self.pos + 1]
         self.pos += 2
         return m & 0x0F
@@ -232,6 +242,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w = h = None
     restart_interval = 0
     scan_comps = None
+    progressive = False
+    scan_band = None
     while pos < len(data):
         assert data[pos] == 0xFF, f"bad marker sync at {pos}"
         marker = data[pos + 1]
@@ -254,7 +266,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 dezig = np.empty(64, dtype=np.int32)
                 dezig[ZIGZAG] = qt
                 qts[tq] = dezig.reshape(8, 8)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if precision != 8:
                 raise NotImplementedError("jpeg_codec handles 8-bit precision only")
@@ -262,9 +275,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg_codec decodes baseline sequential (SOF0/1) only, got SOF marker 0x{marker:02X}"
+                f"jpeg_codec decodes sequential (SOF0/1) and progressive (SOF2) "
+                f"only, got SOF marker 0x{marker:02X}"
             )
         elif marker == 0xC4:  # DHT
             b = 0
@@ -284,11 +298,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            scan_band = (ss, se, ahal >> 4, ahal & 0x0F)
             pos += seglen
             break
         pos += seglen
     if comps is None or scan_comps is None:
         raise ValueError("JPEG missing SOF/SOS")
+
+    if progressive:
+        return _decode_progressive(
+            data, pos, (scan_comps, scan_band), qts, huff_dc, huff_ac,
+            comps, w, h, restart_interval,
+        )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -341,6 +363,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
 
+    return _merge_planes(comps, w, h, hmax, vmax)
+
+
+def _merge_planes(comps, w, h, hmax, vmax) -> tuple[int, int, int, np.ndarray]:
+    """Upsample subsampled planes, crop MCU padding, YCbCr->RGB (shared by
+    the baseline and progressive decode paths)."""
     planes = []
     for c in comps:
         p = c["plane"]
@@ -355,6 +383,240 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
     )
     return w, h, 3, np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# --- progressive decoder (ITU-T.81 G.2) ----------------------------------------------
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    first_scan,
+    qts,
+    huff_dc,
+    huff_ac,
+    comps,
+    w,
+    h,
+    restart_interval,
+) -> tuple[int, int, int, np.ndarray]:
+    """Accumulate quantized coefficients across all scans, then reconstruct.
+
+    A progressive stream is the SAME coefficient data as a baseline stream,
+    reorganized into multiple scans (spectral selection splits the zigzag
+    band; successive approximation splits the bit-planes), so reconstruction
+    after the final scan is identical to a one-scan decode — that equality
+    is the test oracle.
+    """
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # zigzag-order coefficient store; int64 so Python bit ops are exact
+        c["zz"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+        # non-interleaved scans traverse the component's OWN block grid
+        # (ceil of its true sample dimensions), NOT the MCU-padded grid
+        c["sbw"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["sbh"] = (-(-h * c["v"] // vmax) + 7) // 8
+
+    scan_comps, band = first_scan
+    while True:
+        pos = _decode_prog_scan(
+            data, pos, scan_comps, band, huff_dc, huff_ac, comps,
+            mcux, mcuy, restart_interval,
+        )
+        # inter-scan marker loop: tables may be redefined between scans
+        scan_comps = None
+        while pos < len(data):
+            while data[pos] != 0xFF or data[pos + 1] == 0xFF:
+                pos += 1  # skip pad/fill bytes
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            body = data[pos + 2 : pos + seglen]
+            if marker == 0xC4:  # DHT
+                b = 0
+                while b < len(body):
+                    tc, th = body[b] >> 4, body[b] & 0x0F
+                    bits = list(body[b + 1 : b + 17])
+                    n = sum(bits)
+                    vals = list(body[b + 17 : b + 17 + n])
+                    _, dec = _canonical_codes(bits, vals)
+                    (huff_ac if tc else huff_dc)[th] = dec
+                    b += 17 + n
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan_comps = []
+                for i in range(ns):
+                    cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                    scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                band = (ss, se, ahal >> 4, ahal & 0x0F)
+                pos += seglen
+                break
+            pos += seglen
+        if scan_comps is None:  # EOI reached
+            break
+
+    for c in comps:
+        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        qt = qts[c["tq"]]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                blk = np.empty(64, dtype=np.int64)
+                blk[ZIGZAG] = c["zz"][by, bx]
+                coef = blk.reshape(8, 8) * qt
+                c["plane"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef.astype(np.float64) @ _C + 128.0
+                )
+    return _merge_planes(comps, w, h, hmax, vmax)
+
+
+def _decode_prog_scan(
+    data, pos, scan_comps, band, huff_dc, huff_ac, comps,
+    mcux, mcuy, restart_interval,
+):
+    """One progressive scan's entropy data; returns the byte offset of the
+    next marker. State (coefficients, per-component DC predictors, the EOB
+    run) lives on ``comps`` / locals per G.2; restart markers reset both
+    predictors and the EOB run."""
+    ss, se, ah, al = band
+    in_scan = [next(c for c in comps if c["id"] == s["id"]) for s in scan_comps]
+    for c, s in zip(in_scan, scan_comps):
+        c["td"], c["ta"] = s["td"], s["ta"]
+        c["pred"] = 0
+    r = _BitReader(data, pos)
+    state = {"eobrun": 0}
+
+    def dc_first(c, by, bx):
+        t = _huff_decode(r, huff_dc[c["td"]])
+        c["pred"] += _receive_extend(r, t)
+        c["zz"][by, bx, 0] = c["pred"] << al
+
+    def dc_refine(c, by, bx):
+        if r.bit():
+            c["zz"][by, bx, 0] |= 1 << al
+
+    def ac_first(c, by, bx):
+        zz = c["zz"][by, bx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, huff_ac[c["ta"]])
+            rr, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if rr < 15:  # EOBn: run of (1<<rr)+ext blocks ending here
+                    state["eobrun"] = (1 << rr) - 1
+                    if rr:
+                        state["eobrun"] += r.bits(rr)
+                    return
+                k += 16  # ZRL
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("AC run past end of band")
+            zz[k] = _receive_extend(r, sz) << al
+            k += 1
+
+    p1, m1 = 1 << al, -1 << al
+
+    def _correct(zz, k):
+        """Read one correction bit for an already-nonzero coefficient."""
+        if r.bit():
+            v = int(zz[k])
+            if (v & p1) == 0:
+                zz[k] = v + (p1 if v >= 0 else m1)
+
+    def ac_refine(c, by, bx):
+        zz = c["zz"][by, bx]
+        if state["eobrun"] > 0:
+            # block entirely inside an EOB run: corrections only
+            for k in range(ss, se + 1):
+                if zz[k] != 0:
+                    _correct(zz, k)
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, huff_ac[c["ta"]])
+            rr, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if rr < 15:  # EOBn: corrections for the rest, then run
+                    state["eobrun"] = (1 << rr) - 1
+                    if rr:
+                        state["eobrun"] += r.bits(rr)
+                    for kk in range(k, se + 1):
+                        if zz[kk] != 0:
+                            _correct(zz, kk)
+                    return
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:  # sz must be 1: a newly-visible coefficient, sign bit next
+                val = p1 if r.bit() else m1
+            # advance over rr zero-history coefficients, correcting
+            # nonzero-history ones encountered along the way
+            while k <= se:
+                if zz[k] != 0:
+                    _correct(zz, k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+
+    if ss == 0:
+        block = dc_first if ah == 0 else dc_refine
+        assert se == 0, "DC scan must have Se == 0"
+    else:
+        block = ac_first if ah == 0 else ac_refine
+        assert len(in_scan) == 1, "AC scans are single-component"
+
+    def maybe_restart(unit):
+        if restart_interval and unit and unit % restart_interval == 0:
+            r.align_to_marker()
+            for c in in_scan:
+                c["pred"] = 0
+            state["eobrun"] = 0
+
+    if len(in_scan) > 1:
+        # interleaved: MCU traversal over the padded grid (DC scans)
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(unit)
+                for c in in_scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block(c, my * c["v"] + by, mx * c["h"] + bx)
+                unit += 1
+    else:
+        # non-interleaved: the single component's own block grid
+        c = in_scan[0]
+        unit = 0
+        for by in range(c["sbh"]):
+            for bx in range(c["sbw"]):
+                maybe_restart(unit)
+                block(c, by, bx)
+                unit += 1
+
+    # advance to the next real marker (skip stuffed bytes and pad bits)
+    p = r.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF)
+    ):
+        p += 1
+    return p
 
 
 # --- encoder (fixture mirror) -------------------------------------------------------
@@ -398,10 +660,10 @@ def _encode_block(wtr, blk, qt, enc_dc, enc_ac, pred):
     return pred
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
-    """uint8 [h, w] or [h, w, 3] -> baseline JPEG bytes (Annex K tables;
-    ``subsample=True`` writes 4:2:0 chroma — exercises the decoder's
-    upsampling path)."""
+def _prep_planes(img: np.ndarray, subsample: bool):
+    """uint8 image -> (gray, h, w, planes, hv, qtsel): color-converted (and
+    optionally 4:2:0-downsampled) float64 component planes with their
+    sampling factors and quant-table selectors — shared by both encoders."""
     img = np.asarray(img)
     gray = img.ndim == 2 or img.shape[2] == 1
     h, w = img.shape[:2]
@@ -428,6 +690,14 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
             planes = [y, cb, cr]
             hv = [(1, 1), (1, 1), (1, 1)]
         qtsel = [0, 1, 1]
+    return gray, h, w, planes, hv, qtsel
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """uint8 [h, w] or [h, w, 3] -> baseline JPEG bytes (Annex K tables;
+    ``subsample=True`` writes 4:2:0 chroma — exercises the decoder's
+    upsampling path)."""
+    gray, h, w, planes, hv, qtsel = _prep_planes(img, subsample)
 
     # Annex K tables are natural (row-major) order; the DQT segment below
     # stores them zigzag-ordered, the decoder's dezigzag restores this
@@ -494,4 +764,258 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
                         )
     wtr.flush()
     out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder (fixture mirror, ITU-T.81 G.1) -------------------------------
+
+# Annex K AC tables extended with the EOB1 symbol (0x10) in each table's one
+# remaining free length-16 slot (both tables' Kraft sums are 65535/65536), so
+# fixtures exercise the decoder's EOBn run-length path (r > 0), not just EOB0.
+_AC_LUM_P = (_AC_LUM[0][:15] + [_AC_LUM[0][15] + 1], _AC_LUM[1] + [0x10])
+_AC_CHROM_P = (_AC_CHROM[0][:15] + [_AC_CHROM[0][15] + 1], _AC_CHROM[1] + [0x10])
+_EOBRUN_MAX = 3  # EOB1 extension bit covers runs of 2-3; flush at the cap
+
+
+def _flush_eobrun(wtr, enc_ac, st) -> None:
+    """Emit the pending EOBn symbol + extension bits + the buffered
+    correction bits (refinement scans) accumulated across the run."""
+    if st["eobrun"] > 0:
+        n = st["eobrun"].bit_length() - 1
+        code, ln = enc_ac[n << 4]
+        wtr.put(code, ln)
+        if n:
+            wtr.put(st["eobrun"] - (1 << n), n)
+        for b in st["be"]:
+            wtr.put(b, 1)
+        st["eobrun"] = 0
+        st["be"] = []
+
+
+def _enc_dc_first_block(wtr, zz0: int, al: int, enc_dc, pred: int) -> int:
+    v = int(zz0) >> al  # arithmetic shift = the DC point transform (G.1.2.1)
+    diff = v - pred
+    s = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+    code, ln = enc_dc[s]
+    wtr.put(code, ln)
+    if s:
+        wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _enc_ac_first_block(wtr, zz, ss: int, se: int, al: int, enc_ac, st) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        _flush_eobrun(wtr, enc_ac, st)
+        while run > 15:
+            code, ln = enc_ac[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+        s = t.bit_length()
+        code, ln = enc_ac[(run << 4) | s]
+        wtr.put(code, ln)
+        sv = t if v >= 0 else -t
+        wtr.put(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        run = 0
+    if run > 0:  # block ends in zeros -> it starts/extends an EOB run
+        st["eobrun"] += 1
+        if st["eobrun"] >= _EOBRUN_MAX:
+            _flush_eobrun(wtr, enc_ac, st)
+
+
+def _enc_ac_refine_block(wtr, zz, ss: int, se: int, al: int, enc_ac, st) -> None:
+    """Mirror of the decoder's G.2 consumption model: correction bits are
+    emitted positionally inside the window each symbol's traversal covers
+    (not batch-flushed), so encoder and decoder stay bit-aligned."""
+    temp = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    newly = [k for k in range(ss, se + 1) if temp[k - ss] == 1]
+    k = ss
+    for knew in newly:
+        run = sum(1 for j in range(k, knew) if temp[j - ss] == 0)
+        while run > 15:
+            _flush_eobrun(wtr, enc_ac, st)
+            code, ln = enc_ac[0xF0]
+            wtr.put(code, ln)
+            cnt = 0  # traverse the ZRL's 16-zero window, corrections inline
+            while cnt < 16:
+                t = temp[k - ss]
+                if t == 0:
+                    cnt += 1
+                elif t > 1:
+                    wtr.put(t & 1, 1)
+                k += 1
+            run -= 16
+        _flush_eobrun(wtr, enc_ac, st)
+        code, ln = enc_ac[(run << 4) | 1]
+        wtr.put(code, ln)
+        wtr.put(1 if int(zz[knew]) >= 0 else 0, 1)  # sign of the new coef
+        for j in range(k, knew):  # corrections inside this symbol's window
+            if temp[j - ss] > 1:
+                wtr.put(temp[j - ss] & 1, 1)
+        k = knew + 1
+    if k <= se:  # trailing zero-history tail -> EOB run, corrections buffered
+        st["be"].extend(
+            temp[j - ss] & 1 for j in range(k, se + 1) if temp[j - ss] > 1
+        )
+        st["eobrun"] += 1
+        if st["eobrun"] >= _EOBRUN_MAX:
+            _flush_eobrun(wtr, enc_ac, st)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """uint8 [h, w] or [h, w, 3] -> progressive (SOF2) JPEG bytes.
+
+    Same Annex K quantization as ``encode_jpeg`` — the two encoders produce
+    the SAME quantized coefficients, so ``decode_jpeg`` of either stream is
+    pixel-identical (the test oracle). Scan script (libjpeg-style spectral
+    selection + one successive-approximation level):
+
+    1. DC first, all components interleaved, Al=1
+    2. per component: AC first Ss=1..5,  Al=1
+    3. per component: AC first Ss=6..63, Al=1
+    4. per component: AC refine 1..63, Ah=1 -> Al=0
+    5. DC refine, interleaved, Ah=1 -> Al=0
+    """
+    gray, h, w, planes, hv, qtsel = _prep_planes(img, subsample)
+    qts = [_QT_LUM.reshape(8, 8), _QT_CHROM.reshape(8, 8)]
+    enc_dc = [_canonical_codes(*_DC_LUM)[0], _canonical_codes(*_DC_CHROM)[0]]
+    enc_ac = [_canonical_codes(*_AC_LUM_P)[0], _canonical_codes(*_AC_CHROM_P)[0]]
+
+    hmax = max(a for a, _ in hv)
+    vmax = max(b for _, b in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized zigzag coefficients for every padded-grid block, up front
+    zzs = []
+    for ci, (p, (ch, cv)) in enumerate(zip(planes, hv)):
+        bh_, bw_ = mcuy * cv, mcux * ch
+        pp = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+        ph, pw = p.shape
+        pp[:ph, :pw] = p
+        pp[ph:, :pw] = p[ph - 1 : ph, :]
+        pp[:, pw:] = pp[:, pw - 1 : pw]
+        zz = np.empty((bh_, bw_, 64), dtype=np.int32)
+        qt = qts[qtsel[ci]]
+        for by in range(bh_):
+            for bx in range(bw_):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.round((_C @ (blk - 128.0) @ _C.T) / qt).astype(np.int32)
+                zz[by, bx] = coef.reshape(-1)[ZIGZAG]
+        zzs.append(zz)
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tbl in ((0, _QT_LUM), (1, _QT_CHROM)):
+        if gray and tq == 1:
+            continue
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+            + bytes(tbl[ZIGZAG].tolist())
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], qtsel[i]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in (
+        (0, 0, _DC_LUM), (1, 0, _AC_LUM_P), (0, 1, _DC_CHROM), (1, 1, _AC_CHROM_P)
+    ):
+        if gray and th == 1:
+            continue
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def emit_scan(comp_ids, ss, se, ah, al, block_fn):
+        """Write one SOS header + entropy segment. ``block_fn(wtr, ci, zz,
+        pred, st) -> pred`` encodes one block; ``st`` is this scan's EOB-run
+        state (flushed at restarts and scan end)."""
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t if ss else (t << 4)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        nonlocal out
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        wtr = _BitWriter()
+        st = {"eobrun": 0, "be": []}
+        preds = {ci: 0 for ci in comp_ids}
+        tbl = enc_ac[0 if comp_ids[0] == 0 else 1]
+        rst = 0
+
+        def maybe_restart(unit):
+            nonlocal rst
+            if restart_interval and unit and unit % restart_interval == 0:
+                _flush_eobrun(wtr, tbl, st)
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                for ci in comp_ids:
+                    preds[ci] = 0
+
+        if len(comp_ids) > 1:  # interleaved DC scan over the MCU grid
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    for ci in comp_ids:
+                        ch, cv = hv[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                preds[ci] = block_fn(
+                                    wtr, ci, zzs[ci][my * cv + by, mx * ch + bx],
+                                    preds[ci], st,
+                                )
+                    unit += 1
+        else:  # non-interleaved: the component's own block grid
+            ci = comp_ids[0]
+            ch, cv = hv[ci]
+            sbw = (-(-w * ch // hmax) + 7) // 8
+            sbh = (-(-h * cv // vmax) + 7) // 8
+            unit = 0
+            for by in range(sbh):
+                for bx in range(sbw):
+                    maybe_restart(unit)
+                    preds[ci] = block_fn(wtr, ci, zzs[ci][by, bx], preds[ci], st)
+                    unit += 1
+        _flush_eobrun(wtr, tbl, st)
+        wtr.flush()
+        out += wtr.out
+
+    all_comps = list(range(nc))
+
+    def dc_first(wtr, ci, zz, pred, st):
+        return _enc_dc_first_block(wtr, zz[0], 1, enc_dc[0 if ci == 0 else 1], pred)
+
+    def dc_refine(wtr, ci, zz, pred, st):
+        wtr.put(int(zz[0]) & 1, 1)  # Al=0 refinement bit
+        return pred
+
+    def ac_block(ss_, se_, refine):
+        def fn(wtr, ci, zz, pred, st):
+            tbl = enc_ac[0 if ci == 0 else 1]
+            if refine:
+                _enc_ac_refine_block(wtr, zz, ss_, se_, 0, tbl, st)
+            else:
+                _enc_ac_first_block(wtr, zz, ss_, se_, 1, tbl, st)
+            return pred
+        return fn
+
+    emit_scan(all_comps, 0, 0, 0, 1, dc_first)
+    for ci in all_comps:  # spectral-selection first scans at Al=1
+        for ss_, se_ in ((1, 5), (6, 63)):
+            emit_scan([ci], ss_, se_, 0, 1, ac_block(ss_, se_, refine=False))
+    for ci in all_comps:  # one successive-approximation refinement to Al=0
+        emit_scan([ci], 1, 63, 1, 0, ac_block(1, 63, refine=True))
+    emit_scan(all_comps, 0, 0, 1, 0, dc_refine)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -746,17 +746,92 @@ def test_jpeg_codec_roundtrip_and_features():
         assert (ww, hh, cc) == (w, h, 3)
         assert psnr(img, out) > floor, (sub, psnr(img, out))
 
-    # progressive JPEGs raise with the variant named
+    # lossless (SOF3) still raises with the variant named
     import pytest as _pytest
 
     raw = bytearray(encode_jpeg(gray))
     sof = raw.index(b"\xff\xc0")
-    raw[sof + 1] = 0xC2
+    raw[sof + 1] = 0xC3
     with _pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(raw))
 
     feats = _png_features(encode_jpeg(img), dim=16)
     assert feats is not None and feats[0] == w and feats[1] == h and feats[2] == 3
+
+
+def test_jpeg_progressive_decode_matches_baseline_exactly():
+    """Progressive (SOF2) reorganizes the SAME quantized coefficients into
+    multiple scans (spectral selection + successive approximation), so
+    decoding the progressive encoder's output must be pixel-IDENTICAL to
+    decoding the baseline encoder's output for the same image — a
+    codec-independent ground truth. Cases cover: interleaved DC first +
+    refinement scans, AC spectral-selection first scans, AC refinement with
+    inline correction bits, EOB runs (uniform image), ZRL windows in both
+    first and refinement scans (sparse image), 4:2:0 where the
+    non-interleaved component grid differs from the MCU-padded grid, and
+    restart markers inside every scan type."""
+    import numpy as np
+
+    from palimpzest_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ("gray random", rng.integers(0, 256, (13, 20), np.uint8), False, 0),
+        ("color 4:4:4", rng.integers(0, 256, (21, 37, 3), np.uint8), False, 0),
+        ("color 4:2:0", rng.integers(0, 256, (21, 37, 3), np.uint8), True, 0),
+        ("uniform eob-runs", np.full((24, 24), 77, np.uint8), False, 0),
+        ("sparse zrl", np.where(rng.random((64, 64)) > 0.99, 255, 80).astype(np.uint8), False, 0),
+        ("restart every 2 MCUs", rng.integers(0, 256, (32, 32, 3), np.uint8), False, 2),
+    ]
+    for name, img, sub, ri in cases:
+        bw, bh, bc, base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        pw, ph, pc, prog = decode_jpeg(
+            encode_jpeg_progressive(img, subsample=sub, restart_interval=ri)
+        )
+        assert (bw, bh, bc) == (pw, ph, pc), name
+        assert np.array_equal(base, prog), name
+
+
+def test_jpeg_progressive_hand_ground_truth_and_eobrun_symbol():
+    """Two checks that do not lean on the baseline decoder at all:
+
+    - uniform gray 200: DC = (200-128)*8 = 576, quantized 576/16 = 36 with
+      zero rounding error, all AC zero -> every reconstructed pixel is
+      EXACTLY 200 (hand-computable through DCT/quant/IDCT).
+    - the multi-block uniform image forces the encoder's EOB-run
+      accumulation; instrument the Huffman decode to assert the EOBn
+      (r >= 1) symbol 0x10 is actually consumed, pinning that fixtures
+      exercise the decoder's run-length path, not just EOB0."""
+    import numpy as np
+
+    from palimpzest_spark.sources import jpeg_codec as J
+
+    w0, h0, c0, out = J.decode_jpeg(J.encode_jpeg_progressive(np.full((8, 8), 200, np.uint8)))
+    assert (w0, h0, c0) == (8, 8, 1)
+    assert np.all(out == 200)
+
+    seen: list[int] = []
+    orig = J._huff_decode
+
+    def spy(r, dec):
+        sym = orig(r, dec)
+        seen.append(sym)
+        return sym
+
+    # 78: (78-128)*8 = -400 is divisible by the DC quant step 16, so the
+    # round trip is exact (uniform 77 would quantize with error)
+    data = J.encode_jpeg_progressive(np.full((24, 24), 78, np.uint8))
+    J._huff_decode = spy
+    try:
+        _, _, _, out = J.decode_jpeg(data)
+    finally:
+        J._huff_decode = orig
+    assert np.all(out == 78)
+    assert 0x10 in seen, "EOB1 run symbol never exercised by the fixture"
 
 
 def test_pdf_tounicode_cid_extraction():
