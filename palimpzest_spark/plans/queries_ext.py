@@ -1226,6 +1226,82 @@ def multimodal_audio_features(spark, sf_dir):
     ).orderBy("asset_id")
 
 
+def _image_fixture_pixels():
+    """The image fixture SPEC (seeded uint8 pixel arrays across gray / RGB /
+    RGBA) — shared by the engine query (which encodes them to PNG bytes) and
+    the oracle generator (which computes the expected statistics by pure
+    pixel math). PNG is lossless, so unlike the JPEG tier the ground truth
+    needs no independent decoder: features are exact functions of the spec."""
+    import numpy as np
+
+    out = []
+    for i in range(24):
+        rng = np.random.default_rng(3000 + i)
+        w, h = 5 + i % 6, 4 + i % 5
+        ch = (1, 3, 4)[i % 3]
+        px = rng.integers(0, 256, (h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+        out.append((i, px))
+    return out
+
+
+def _image_features_oracle_sql() -> str:
+    """Ground-truth VALUES for multimodal_image_features, computed WITHOUT
+    touching png_lite or functions/multimodal: width/height/channels come
+    from the fixture spec's array shape and the channel-0 mean/std are 3
+    lines of numpy over the raw pixels. Any encode_png / decode_png /
+    IHDR-walk / feature-UDF defect breaks the value hash. Same HALF_UP
+    floor-rounding expression as the query, on identical float64 inputs."""
+    import math
+
+    import numpy as np
+
+    rows = []
+    for i, px in _image_fixture_pixels():
+        a = px if px.ndim == 3 else px[:, :, None]
+        h, w, ch = a.shape
+        c0 = a[:, :, 0].astype(np.float64)
+        mean4 = math.floor(float(c0.mean()) / 255.0 * 1e4 + 0.5) / 1e4
+        std4 = math.floor(float(c0.std()) / 255.0 * 1e4 + 0.5) / 1e4
+        rows.append(f"({i}, {w}, {h}, {ch}, {mean4!r}, {std4!r})")
+    vals = ",\n  ".join(rows)
+    return (
+        "SELECT CAST(asset_id AS BIGINT) AS asset_id,\n"
+        "       CAST(width AS BIGINT) AS width,\n"
+        "       CAST(height AS BIGINT) AS height,\n"
+        "       CAST(channels AS BIGINT) AS channels,\n"
+        "       CAST(mean_c0 AS DOUBLE) AS mean_c0,\n"
+        "       CAST(std_c0 AS DOUBLE) AS std_c0\n"
+        f"FROM (VALUES\n  {vals}\n) AS t(asset_id, width, height, channels, mean_c0, std_c0)\n"
+        "ORDER BY asset_id"
+    )
+
+
+@_q("multimodal_image_features", oracle=_image_features_oracle_sql())
+def multimodal_image_features(spark, sf_dir):
+    """ORACLE-CHECKED real image decode: deterministic PNGs (gray / RGB /
+    RGBA, stdlib codec) → IHDR metadata + channel-0 mean/std features. The
+    oracle is generated at import time from the fixture spec alone (pure
+    pixel math — PNG is lossless, see _image_features_oracle_sql), so
+    encode_png, decode_png, image_metadata's IHDR walk, and the feature UDF
+    are all value-hash-gated. (VERDICT r4 stretch #7 — the audio twin got
+    the same treatment in r4; `multimodal_features` keeps the lossy JPEG +
+    progressive tier as its rows-only sibling.)"""
+    from palimpzest_spark.sources.png_lite import encode_png
+
+    pngs = [(i, encode_png(px)) for i, px in _image_fixture_pixels()]
+    assets = spark.createDataFrame(pngs, "asset_id long, content binary")
+    with_meta = multimodal.image_metadata(assets)
+    feats = multimodal.extract_features(with_meta, dim=10, decode="image")
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        (F.floor(F.element_at("features", 4) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("mean_c0"),
+        (F.floor(F.element_at("features", 5) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("std_c0"),
+    ).orderBy("asset_id")
+
+
 @_q("sem_rag_convert")
 def sem_rag_convert(spark, sf_dir):
     """Rows-only fast tier (crc32 inference stub is engine-internal); oracle
