@@ -56,6 +56,32 @@ from pyspark.sql import types as T
 VERSION_HINT = "version-hint.txt"
 
 
+def _rebase_summary(ours: dict, theirs: dict) -> dict:
+    """Merge a commit's summary onto the summary of a snapshot that landed
+    concurrently (commit_merge rebase): monotone fields take the max —
+    including per-key in the txn watermark map, since ``ours`` carries the
+    plan-time (possibly stale) view of OTHER writers' entries and must not
+    regress an entry the competitor just advanced. Per-batch advisory
+    fields (batch_lineage/batch_events/fused_clean) stay ours."""
+    out = dict(ours)
+    offsets = dict(theirs.get("offsets", {}))
+    for p, off in ours.get("offsets", {}).items():
+        offsets[p] = max(int(offsets.get(p, -1)), int(off))
+    out["offsets"] = offsets
+    txn = dict(theirs.get("txn", {}))
+    for w, b in ours.get("txn", {}).items():
+        txn[w] = max(int(txn.get(w, -1)), int(b))
+    out["txn"] = txn
+    out["last_batch_id"] = max(
+        int(ours.get("last_batch_id", -1)), int(theirs.get("last_batch_id", -1))
+    )
+    out["n_source_partitions"] = max(
+        int(ours.get("n_source_partitions", 0)),
+        int(theirs.get("n_source_partitions", 0)),
+    )
+    return out
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent writer published the same snapshot version first
     (Iceberg's CommitFailedException). The losing commit published nothing;
@@ -329,8 +355,17 @@ class SnapshotLakeTable:
         self._cache_snapshot(new_v, snap)
         return new_v
 
-    def last_batch_id(self) -> int:
-        return int(self.snapshot()["summary"].get("last_batch_id", -1))
+    def last_batch_id(self, writer_id: str | None = None) -> int:
+        """Idempotence watermark. With ``writer_id``, the per-writer
+        transaction version (the Delta-lake ``txn`` appId analog): each
+        writer's applied batch ids advance independently, so N CDC shards
+        can ingest one table without one writer's high batch id making
+        another writer skip its own batches. ``None`` = the legacy global
+        single-writer watermark."""
+        summary = self.snapshot()["summary"]
+        if writer_id is not None:
+            return int(summary.get("txn", {}).get(writer_id, -1))
+        return int(summary.get("last_batch_id", -1))
 
     # -- reads ---------------------------------------------------------------
 
@@ -809,29 +844,67 @@ class SnapshotLakeTable:
         schema_json: dict,
         summary: dict,
         base_snapshot: dict | None = None,
+        rebase_attempts: int = 20,
     ) -> int:
         """One atomic commit for a mixed merge: ``cow_buckets`` get their base
         replaced and deltas cleared (they were folded into the new base);
         ``mor_files`` are APPENDED to their buckets' delta lists. The commit
         is a CAS against the snapshot it was derived from (``base_snapshot``
-        when the caller validated one, else the current) — a concurrent
-        commit in between raises CommitConflictError instead of being
-        silently overwritten."""
+        when the caller validated one, else the current).
+
+        **Conflict rebase** (the multi-writer fast path, Delta/Iceberg-style
+        logical conflict detection): losing the CAS does NOT force the caller
+        to re-run its Spark jobs when the written files are still valid on
+        the new snapshot —
+
+        - a pure MoR commit (delta appends) commutes with ANY concurrent
+          commit: a competitor's append lands in other delta files, and a
+          competitor's compaction/CoW folded only files that existed in ITS
+          snapshot, never these — so the manifest merge is simply re-derived
+          against the fresh snapshot (driver-side, milliseconds) and retried;
+        - a CoW commit rebases only if no concurrently-committed change
+          touched its buckets (otherwise the base replace would discard the
+          competitor's rows) and the table schema did not move (otherwise the
+          schema this merge decoded with may be stale).
+
+        A non-rebasable conflict raises CommitConflictError — the merge layer
+        re-plans the whole batch against the fresh snapshot."""
         prev = base_snapshot if base_snapshot is not None else self.snapshot()
-        files = dict(prev["files"])
-        deltas = dict(prev["deltas"])
-        fs = dict(prev["filestats"])
-        for b in cow_buckets:
-            for p in files.get(str(b), []) + deltas.get(str(b), []):
-                fs.pop(p, None)
-            files[str(b)] = cow_files.get(str(b), [])
-            deltas[str(b)] = []
-        for b, ps in mor_files.items():
-            if ps:
-                deltas[str(b)] = deltas.get(str(b), []) + ps
-        fs.update(filestats)
-        return self.commit(
-            {"files": files, "deltas": deltas, "filestats": fs,
-             "schema": schema_json, "summary": summary},
-            expect_version=prev["version"],
+        for _ in range(max(rebase_attempts, 1)):
+            files = dict(prev["files"])
+            deltas = dict(prev["deltas"])
+            fs = dict(prev["filestats"])
+            for b in cow_buckets:
+                for p in files.get(str(b), []) + deltas.get(str(b), []):
+                    fs.pop(p, None)
+                files[str(b)] = cow_files.get(str(b), [])
+                deltas[str(b)] = []
+            for b, ps in mor_files.items():
+                if ps:
+                    deltas[str(b)] = deltas.get(str(b), []) + ps
+            fs.update(filestats)
+            merged_summary = summary
+            if prev is not base_snapshot and base_snapshot is not None:
+                merged_summary = _rebase_summary(summary, prev["summary"])
+            try:
+                return self.commit(
+                    {"files": files, "deltas": deltas, "filestats": fs,
+                     "schema": schema_json, "summary": merged_summary},
+                    expect_version=prev["version"],
+                )
+            except CommitConflictError:
+                cur = self.snapshot()
+                if base_snapshot is not None and cur.get("schema") != base_snapshot.get(
+                    "schema"
+                ):
+                    raise  # schema moved under us: re-plan with the new schema
+                ref = base_snapshot if base_snapshot is not None else prev
+                for b in cow_buckets:
+                    if cur["files"].get(str(b)) != ref["files"].get(str(b)) or cur[
+                        "deltas"
+                    ].get(str(b)) != ref["deltas"].get(str(b)):
+                        raise  # competitor touched a bucket we are replacing
+                prev = cur  # rebase: re-derive the manifest merge and re-CAS
+        raise CommitConflictError(
+            f"commit_merge could not land after {rebase_attempts} rebases"
         )

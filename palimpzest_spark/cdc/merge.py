@@ -166,14 +166,27 @@ def _value_cols(public: T.StructType, payload_schema: T.StructType | None) -> li
 
 
 def _fold_summary(table: SnapshotLakeTable, batch_id: int, lineage: dict,
-                  n_events: int, n_parts: int, fused_clean: bool = False) -> dict:
-    prev = table.snapshot()["summary"]
+                  n_events: int, n_parts: int, fused_clean: bool = False,
+                  writer_id: str | None = None,
+                  base: dict | None = None) -> dict:
+    """Next snapshot's summary, derived from ``base`` — the SAME snapshot
+    the commit CAS anchors on (a concurrent writer between plan and publish
+    then conflicts instead of having its offsets/txn folded away). With
+    ``writer_id``, the per-writer ``txn`` watermark advances independently
+    (multi-writer idempotence) and the global last_batch_id becomes a
+    monotone progress marker rather than this writer's batch id."""
+    prev = (base if base is not None else table.snapshot())["summary"]
     offsets = dict(prev.get("offsets", {}))
     for p, info in lineage.items():
         offsets[p] = max(int(offsets.get(p, -1)), int(info["max_offset"]))
+    txn = dict(prev.get("txn", {}))
+    if writer_id is not None:
+        txn[writer_id] = batch_id
     return {
-        "last_batch_id": batch_id,
+        "last_batch_id": batch_id if writer_id is None
+        else max(int(prev.get("last_batch_id", -1)), batch_id),
         "offsets": offsets,
+        "txn": txn,
         "batch_lineage": lineage,
         "batch_events": n_events,
         "n_source_partitions": max(int(prev.get("n_source_partitions", 0)), n_parts),
@@ -187,8 +200,58 @@ def merge_batch(
     batch: DataFrame,
     batch_id: int,
     write_salt: int = 4,
+    writer_id: str | None = None,
 ) -> dict[str, Any]:
     """Apply one microbatch. Returns metrics (also folded into the snapshot).
+
+    **Multi-writer**: ``writer_id`` namespaces the idempotence watermark
+    (per-writer ``txn`` map, the Delta ``txn`` appId analog) so concurrent
+    writers on disjoint feeds can share one table; every commit is a CAS
+    against the snapshot this merge planned on, and a lost race raises
+    CommitConflictError internally — the merge then re-plans against the
+    fresh snapshot and retries (bounded), aborting the losing attempt's
+    uncommitted files. Single-writer callers pay nothing: no writer_id means
+    the legacy global watermark and the CAS never conflicts.
+    """
+    import random
+
+    from palimpzest_spark.cdc.lake import CommitConflictError
+
+    t0 = time.perf_counter()
+    last_err: Exception | None = None
+    for attempt in range(8):
+        if batch_id <= table.last_batch_id(writer_id):
+            return {"batch_id": batch_id, "skipped": True, "events": 0,
+                    "elapsed_sec": 0.0}
+        if attempt:
+            # jittered backoff de-synchronizes symmetric writers: a full
+            # re-plan takes seconds of Spark jobs, so without backoff two
+            # writers that conflict once keep conflicting (livelock). Most
+            # conflicts never reach here — commit_merge rebases MoR appends
+            # and untouched-bucket CoW driver-side in milliseconds.
+            time.sleep(random.uniform(0.1, 0.5) * attempt)
+        try:
+            m = _merge_once(spark, table, batch, batch_id, t0, writer_id)
+            if attempt:
+                m["commit_retries"] = attempt
+            return m
+        except CommitConflictError as e:
+            last_err = e
+            if _DEBUG:
+                print(f"[merge {batch_id}] non-rebasable commit conflict "
+                      f"(attempt {attempt + 1}/8) — re-planning on the fresh snapshot")
+    raise last_err  # type: ignore[misc]
+
+
+def _merge_once(
+    spark: SparkSession,
+    table: SnapshotLakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    t0: float,
+    writer_id: str | None = None,
+) -> dict[str, Any]:
+    """One merge attempt against the current snapshot (see merge_batch).
 
     Three execution paths, picked from the MANIFEST (driver-side, no job):
 
@@ -213,39 +276,40 @@ def merge_batch(
       (strided sample caught the evolution, or the fused gate aborted) it is
       REUSED for lineage — the batch is never scanned twice for metadata.
     """
-    t0 = time.perf_counter()
-    if batch_id <= table.last_batch_id():
-        return {"batch_id": batch_id, "skipped": True, "events": 0, "elapsed_sec": 0.0}
-
     snap = table.snapshot()
     prev = snap["summary"]
     public = _public_schema(table)
     if public is None:
-        return _merge_twopass(spark, table, batch, batch_id, t0)
+        return _merge_twopass(spark, table, batch, batch_id, t0,
+                              writer_id=writer_id, base=snap)
 
     n_parts = int(prev.get("n_source_partitions", 0) or 0)
     est_events = int(prev.get("batch_events", 0) or 0)
     table_rows = sum(int(s.get("rows", 0)) for s in snap["filestats"].values())
     if n_parts > 0 and 0 < est_events * 4 <= table_rows:
-        out = _merge_delta_first(spark, table, batch, batch_id, public, n_parts, t0)
+        out = _merge_delta_first(spark, table, batch, batch_id, public, n_parts,
+                                 t0, writer_id=writer_id, base=snap)
         if out is not None:
             return out
         if _DEBUG:
             print(f"[merge {batch_id}] delta-first aborted (schema anomaly) "
                   f"{time.perf_counter() - t0:.1f}s — exact two-pass")
-        return _merge_twopass(spark, table, batch, batch_id, t0)
+        return _merge_twopass(spark, table, batch, batch_id, t0,
+                              writer_id=writer_id, base=snap)
 
     grid = _pre_grid(spark, table, batch, public)
     if grid["n_events"] == 0:
         return {"batch_id": batch_id, "skipped": False, "events": 0, "elapsed_sec": 0.0}
     if grid["anomalies_sampled"] == 0:
-        out = _merge_fused(spark, table, batch, batch_id, public, grid, t0)
+        out = _merge_fused(spark, table, batch, batch_id, public, grid, t0,
+                           writer_id=writer_id, base=snap)
         if out is not None:
             return out
         if _DEBUG:
             print(f"[merge {batch_id}] fused gate aborted (schema anomaly) "
                   f"{time.perf_counter() - t0:.1f}s — exact two-pass (grid reused)")
-    return _merge_twopass(spark, table, batch, batch_id, t0, grid=grid)
+    return _merge_twopass(spark, table, batch, batch_id, t0, grid=grid,
+                          writer_id=writer_id, base=snap)
 
 
 def _pre_grid(
@@ -403,6 +467,8 @@ def _merge_delta_first(
     public: T.StructType,
     n_parts: int,
     t0: float,
+    writer_id: str | None = None,
+    base: dict | None = None,
 ) -> dict[str, Any] | None:
     """Steady-state merge: ONE observed job, zero pre-jobs.
 
@@ -477,8 +543,13 @@ def _merge_delta_first(
         if int(m[f"ev_{p}"] or 0) > 0
     }
     summary = _fold_summary(table, batch_id, lineage, n_events, n_parts,
-                            fused_clean=True)
-    table.commit_merge([], {}, new_files, stats, full.jsonValue(), summary)
+                            fused_clean=True, writer_id=writer_id, base=base)
+    try:
+        table.commit_merge([], {}, new_files, stats, full.jsonValue(), summary,
+                           base_snapshot=base)
+    except Exception:
+        table.abort_files(out_rel)  # lost CAS race: leave no orphan files
+        raise
     t_commit = time.perf_counter()
 
     # amortized compaction of overflowing buckets (separate job, may be
@@ -492,7 +563,15 @@ def _merge_delta_first(
         incoming_delta=False,
     )
     if overflow:
-        table.compact(spark, overflow)
+        from palimpzest_spark.cdc.lake import CommitConflictError
+
+        try:
+            table.compact(spark, overflow)
+        except CommitConflictError:
+            # the batch itself is already committed; compaction is amortized
+            # maintenance — under writer contention defer it to a later batch
+            # rather than failing (and re-skipping) a committed merge
+            overflow = []
 
     elapsed = time.perf_counter() - t0
     if _DEBUG:
@@ -523,6 +602,8 @@ def _merge_fused(
     public: T.StructType,
     grid: dict[str, Any],
     t0: float,
+    writer_id: str | None = None,
+    base: dict | None = None,
 ) -> dict[str, Any] | None:
     """Bootstrap-regime merge: grid-planned CoW/MoR write + exact gate.
 
@@ -555,7 +636,9 @@ def _merge_fused(
     t_cow = t_mor = t_plan
     try:
         if cow:
-            existing = table.read_raw(spark, cow)
+            existing = table.read_raw(
+                spark, cow, version=None if base is None else base["version"]
+            )
             part = align_to(upserts.filter(F.col("_bucket").isin(cow)), full)
             merged_in = part if existing is None else align_to(existing, full).unionByName(part)
             rel, cow_files, s = table.write_files(
@@ -589,11 +672,17 @@ def _merge_fused(
               f"mor_write={max(t_mor - max(t_cow, t_plan), 0):.1f}s "
               f"obs={t_now - max(t_mor, t_cow, t_plan):.1f}s total={t_now - t0:.1f}s "
               f"(cow={len(cow)} mor={len(mor)})")
-    table.commit_merge(
-        cow, cow_files, mor_files, stats, full.jsonValue(),
-        _fold_summary(table, batch_id, grid["lineage"], n_events, grid["n_parts"],
-                      fused_clean=True),
-    )
+    try:
+        table.commit_merge(
+            cow, cow_files, mor_files, stats, full.jsonValue(),
+            _fold_summary(table, batch_id, grid["lineage"], n_events, grid["n_parts"],
+                          fused_clean=True, writer_id=writer_id, base=base),
+            base_snapshot=base,
+        )
+    except Exception:
+        for rel in out_rels:  # lost CAS race: leave no orphan files
+            table.abort_files(rel)
+        raise
     elapsed = time.perf_counter() - t0
     if _DEBUG:
         print(f"[merge {batch_id}] fused commit done {elapsed:.1f}s ({n_events} ev)")
@@ -618,6 +707,8 @@ def _merge_twopass(
     batch_id: int,
     t0: float,
     grid: dict[str, Any] | None = None,
+    writer_id: str | None = None,
+    base: dict | None = None,
 ) -> dict[str, Any]:
     """Exact path — first write and schema-evolution batches.
 
@@ -770,28 +861,40 @@ def _merge_twopass(
     cow_files: dict = {}
     mor_files: dict = {}
     stats: dict = {}
+    out_rels: list[str] = []
     if cow:
-        existing = table.read_raw(spark, cow)
+        existing = table.read_raw(
+            spark, cow, version=None if base is None else base["version"]
+        )
         part = align_to(upserts.filter(F.col("_bucket").isin(cow)), full)
         merged_in = part if existing is None else align_to(existing, full).unionByName(part)
-        _, cow_files, s = table.write_files(
+        rel, cow_files, s = table.write_files(
             _lww(merged_in, cols).hint("rebalance", "_bucket"), cow
         )
+        out_rels.append(rel)
         stats.update(s)
     if mor:
         part = align_to(upserts.filter(F.col("_bucket").isin(mor)), full)
-        _, mor_files, s = table.write_files(
+        rel, mor_files, s = table.write_files(
             _lww(part, cols).hint("rebalance", "_bucket"), mor
         )
+        out_rels.append(rel)
         stats.update(s)
-    table.commit_merge(
-        cow,
-        cow_files,
-        mor_files,
-        stats,
-        full.jsonValue(),
-        _fold_summary(table, batch_id, lineage, n_events, n_parts),
-    )
+    try:
+        table.commit_merge(
+            cow,
+            cow_files,
+            mor_files,
+            stats,
+            full.jsonValue(),
+            _fold_summary(table, batch_id, lineage, n_events, n_parts,
+                          writer_id=writer_id, base=base),
+            base_snapshot=base,
+        )
+    except Exception:
+        for rel in out_rels:  # lost CAS race: leave no orphan files
+            table.abort_files(rel)
+        raise
     elapsed = time.perf_counter() - t0
     if _DEBUG:
         print(f"[merge {batch_id}] write+commit done {elapsed:.1f}s ({n_events} ev)")

@@ -86,13 +86,18 @@ def replay_batches(
     skip_files: int = 0,
     quarantine_rules: list | None = None,
     dead_letter_dir: str | None = None,
+    writer_id: str | None = None,
 ) -> list[dict[str, Any]]:
     """Batch-mode replay: feed files grouped in order → merge_batch each.
     ``skip_files`` drops the first N feed files (tail-only replay: the
     scaling harness replays a feed prefix into its template once, then
     measures only the remaining steady-tail files). ``quarantine_rules``
     (functions/quality rule tuples over the feed envelope) splits
-    violating events to ``dead_letter_dir`` before each merge."""
+    violating events to ``dead_letter_dir`` before each merge.
+    ``writer_id`` namespaces the idempotence watermark so multiple
+    concurrent replays (one per feed shard) can share one table — each
+    writer's batch ids advance independently and commit races are
+    serialized by the snapshot CAS (merge_batch re-plans and retries)."""
     files = sorted(glob.glob(os.path.join(feed_dir, "feed-*.parquet")))[skip_files:]
     groups = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
     out = []
@@ -106,7 +111,7 @@ def replay_batches(
             batch, n_bad = _apply_quarantine(
                 batch, quarantine_rules, dead_letter_dir, bid
             )
-        m = merge_batch(spark, table, batch, batch_id=bid)
+        m = merge_batch(spark, table, batch, batch_id=bid, writer_id=writer_id)
         m["quarantined"] = n_bad
         _emit(table, m)
         out.append(m)
@@ -197,6 +202,10 @@ def main() -> None:
     ap.add_argument("--dead-letter",
                     help="parquet dir receiving quarantined events "
                          "(labeled with rule names + batch id)")
+    ap.add_argument("--writer-id",
+                    help="namespace for the idempotence watermark (per-writer "
+                         "txn map) — pass a distinct id per concurrent feed "
+                         "shard writing the same table")
     args = ap.parse_args()
 
     rules = None
@@ -229,6 +238,7 @@ def main() -> None:
             ms = replay_batches(
                 spark, table, args.feed, args.files_per_batch,
                 quarantine_rules=rules, dead_letter_dir=args.dead_letter,
+                writer_id=args.writer_id,
             )
         total = sum(m["events"] for m in ms)
         secs = sum(m["elapsed_sec"] for m in ms)

@@ -989,3 +989,131 @@ def test_version_hint_regression_self_heals(tmp_path):
         fresh.commit(dict(snap), expect_version=1)  # v2 already exists
     with open(fresh._hint_path()) as f:
         assert int(f.read().strip()) >= 2
+
+
+def test_two_concurrent_writer_processes_occ_serialize(spark, tmp_path):
+    """Process-level multi-writer (VERDICT r4 stretch #8): two OS processes
+    (separate JVMs, separate Spark drivers) replay DISJOINT feed shards into
+    ONE table concurrently, each under its own writer_id. The snapshot-commit
+    CAS must serialize every commit (a loser re-plans against the fresh
+    snapshot and retries, aborting its orphan files), the per-writer txn
+    watermarks must advance independently (both writers use batch ids 0..7 —
+    the legacy global watermark would make one writer skip everything), and
+    the final fold must equal the single-writer fold of the concatenated
+    feeds."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    d = tmp_path
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=40, max_turns=6, seed=11)
+    feedgen.gen_change_feed(
+        str(d / "feedA"), n_events=2400, n_convs=40, max_turns=6, n_files=8, seed=11
+    )
+    feedgen.gen_change_feed(
+        str(d / "feedB"), n_events=2400, n_convs=40, max_turns=6, n_files=8, seed=12
+    )
+    # disjoint key spaces: feed B's conversations are renamed, so cross-writer
+    # LWW ties cannot arise (two shards of one binlog never share keys) and
+    # the merged result is order-independent — deterministic under any commit
+    # interleaving
+    for p in sorted(glob.glob(str(d / "feedB" / "feed-*.parquet"))):
+        fb = pd.read_parquet(p)
+        fb["conv_id"] = fb["conv_id"].str.replace("conv-", "convB-", regex=False)
+        fb.to_parquet(p, index=False)
+
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+
+    child = d / "writer.py"
+    child.write_text(
+        """
+import json, os, sys, time
+
+table_dir, feed_dir, writer_id, go_file = sys.argv[1:5]
+from palimpzest_spark.session import get_spark
+from palimpzest_spark.cdc.lake import SnapshotLakeTable
+from palimpzest_spark.cdc.runner import replay_batches
+
+spark = get_spark(app_name=f"cdc-writer-{writer_id}", master="local[4]")
+table = SnapshotLakeTable(table_dir, n_buckets=8)
+while not os.path.exists(go_file):  # start barrier: maximize overlap
+    time.sleep(0.02)
+ms = replay_batches(spark, table, feed_dir, files_per_batch=1,
+                    writer_id=writer_id)
+print("RESULT:" + json.dumps({
+    "events": sum(m["events"] for m in ms),
+    "batches": len(ms),
+    "skipped": sum(1 for m in ms if m.get("skipped")),
+    "retries": sum(m.get("commit_retries", 0) for m in ms),
+}))
+spark.stop()
+"""
+    )
+    repo_root = str(Path(__file__).resolve().parents[1])
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    go = d / "go"
+    procs = {
+        w: subprocess.Popen(
+            [sys.executable, str(child), str(d / "lake"), str(d / f"feed{w}"),
+             w, str(go)],
+            env=env, cwd=str(d), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for w in ("A", "B")
+    }
+    time.sleep(1.0)  # let both JVMs reach the barrier before releasing it
+    go.write_text("")
+    res = {}
+    for w, p in procs.items():
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, f"writer {w} failed:\n{out[-4000:]}"
+        res[w] = json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("RESULT:")][-1][7:]
+        )
+
+    # every batch of both writers applied — none skipped by the other's ids
+    for w in ("A", "B"):
+        assert res[w]["batches"] == 8 and res[w]["skipped"] == 0, res[w]
+        assert res[w]["events"] > 0
+        assert table.last_batch_id(w) == 7, (w, table.last_batch_id(w))
+    # (commit retries are host-timing dependent; when they occur they must
+    # have produced a consistent state — that is what the fold check gates)
+
+    feed_a = pd.concat(
+        [pd.read_parquet(p) for p in sorted(glob.glob(str(d / "feedA" / "feed-*.parquet")))],
+        ignore_index=True,
+    )
+    feed_b = pd.concat(
+        [pd.read_parquet(p) for p in sorted(glob.glob(str(d / "feedB" / "feed-*.parquet")))],
+        ignore_index=True,
+    )
+    expected = fold(pd.read_parquet(base), pd.concat([feed_a, feed_b], ignore_index=True))
+    _assert_state_equal(_actual(spark, table), expected)
+
+
+def test_rebase_summary_monotone_txn_and_offsets():
+    """Rebasing a commit's summary onto a concurrently-landed snapshot must
+    never regress another writer's txn watermark or a partition offset: ours
+    carries the plan-time (stale) view of the competitor's entries."""
+    from palimpzest_spark.cdc.lake import _rebase_summary
+
+    ours = {  # planned when A's txn was still 4
+        "last_batch_id": 5, "offsets": {"0": 10, "1": 7},
+        "txn": {"A": 4, "B": 3}, "batch_events": 100,
+        "n_source_partitions": 2,
+    }
+    theirs = {  # A committed batch 5 in between, and advanced partition 1
+        "last_batch_id": 5, "offsets": {"1": 9, "2": 4},
+        "txn": {"A": 5}, "batch_events": 40,
+        "n_source_partitions": 3,
+    }
+    out = _rebase_summary(ours, theirs)
+    assert out["txn"] == {"A": 5, "B": 3}
+    assert out["offsets"] == {"0": 10, "1": 9, "2": 4}
+    assert out["last_batch_id"] == 5
+    assert out["n_source_partitions"] == 3
+    assert out["batch_events"] == 100  # per-batch advisory stays ours
