@@ -474,8 +474,9 @@ DRIVER_WINDOW: list[str] = [
     "sem_topk_attach_oracle",
     "sem_embedding_join_oracle",
     "bm25_search_docs",
-    # multimodal (audio decode vs numpy-quantization-replay oracle)
-    "multimodal_audio_features",
+    # multimodal (WAV decode vs numpy-quantization replay + PNG decode vs
+    # lossless-tier pixel-stat oracle, one suite slot since r5)
+    "multimodal_media_suite",
     # end-to-end training-data export (filter→quality→tokens→export shape)
     "training_export_pipeline",
     # semantic operators

@@ -101,6 +101,13 @@ SUITES: dict[str, list[str]] = {
         "dedup_simhash_oracle",
         "dedup_winnow_overlap",
     ],
+    # SURVEY rows 5/8: multimodal decode features — WAV (numpy quantization
+    # replay oracle) + PNG (lossless-tier pixel-stat oracle); puts image
+    # decode under the driver value hash for the first time (r5)
+    "multimodal_media_suite": [
+        "multimodal_audio_features",
+        "multimodal_image_features",
+    ],
 }
 
 

@@ -68,7 +68,7 @@ def test_window_covers_every_operator_family():
         "cdc_point_lookup_convs",
         "cdc_ts_range_read",
         "cdc_extras_suite",          # full-replay final state + transcript render
-        "multimodal_audio_features", # audio decode vs quantization-replay oracle
+        "multimodal_media_suite",    # WAV + PNG decode vs codec-free oracles
         "training_export_pipeline",  # end-to-end export pipeline
     }
     in_window = set(DRIVER_WINDOW)
