@@ -55,6 +55,11 @@ from pyspark.sql import types as T
 
 VERSION_HINT = "version-hint.txt"
 
+# process-wide count of driver-side commit rebases (lost CAS races recovered
+# WITHOUT re-running Spark jobs) — observability for benches/tests; merge
+# metrics report per-batch deltas as ``commit_rebases``
+REBASE_COUNT = 0
+
 
 def _rebase_summary(ours: dict, theirs: dict) -> dict:
     """Merge a commit's summary onto the summary of a snapshot that landed
@@ -732,22 +737,33 @@ class SnapshotLakeTable:
 
         A rewrite is only a *perf* change, so the safe reaction to any
         concurrency is to shrink it: before committing, every bucket whose
-        base+delta file lists changed since the PLANNING snapshot is dropped
-        from the commit (the concurrent commit added rows our fold never
-        saw — its bucket simply stays uncompacted until next maintenance),
-        and the commit carries the CURRENT summary/schema so the winner's
-        exactly-once bookkeeping and schema evolution are preserved. The
+        plan-time files were REPLACED since the PLANNING snapshot is dropped
+        from the commit (the concurrent CoW folded rows our fold never saw —
+        its bucket simply stays uncompacted until next maintenance). Buckets
+        that only gained APPENDED delta files stay in: the new base replaces
+        exactly what the fold read and the appended files are carried
+        forward over it by ``commit_merge``'s rebase (Iceberg semantics —
+        concurrent appends never conflict with rewrite_data_files; without
+        this, a steadily-appending writer starves maintenance forever and
+        every compaction job's output is thrown away). The commit carries
+        the CURRENT summary so the winner's exactly-once bookkeeping is
+        preserved, and the plan's schema is swapped to the current one —
+        folding old-schema rows stays valid after evolution (readers
+        union-widen), so a schema move must not invalidate a rewrite. The
         version-race guard in ``commit`` (atomic create-if-absent) backstops
         writers on other nodes whose table view is stale; on that conflict
         we re-read and re-validate, bounded."""
         buckets = list(buckets)
         for _attempt in range(5):
             cur = self.snapshot()
-            safe = [
-                b for b in buckets
-                if cur["files"].get(str(b)) == planned["files"].get(str(b))
-                and cur["deltas"].get(str(b)) == planned["deltas"].get(str(b))
-            ]
+            safe = []
+            for b in buckets:
+                pf = planned["files"].get(str(b), [])
+                pd = planned["deltas"].get(str(b), [])
+                cf = cur["files"].get(str(b), [])
+                cd = cur["deltas"].get(str(b), [])
+                if cf == pf and cd[: len(pd)] == pd:
+                    safe.append(b)
             dropped = {str(b) for b in set(buckets) - set(safe)}
             for b in dropped:
                 for rel in new_files.get(b, []):
@@ -763,7 +779,7 @@ class SnapshotLakeTable:
             try:
                 return self.commit_merge(
                     buckets, new_files, {}, stats, cur["schema"], cur["summary"],
-                    base_snapshot=cur,
+                    base_snapshot=dict(planned, schema=cur["schema"]),
                 )
             except CommitConflictError:
                 continue
@@ -862,29 +878,44 @@ class SnapshotLakeTable:
           competitor's compaction/CoW folded only files that existed in ITS
           snapshot, never these — so the manifest merge is simply re-derived
           against the fresh snapshot (driver-side, milliseconds) and retried;
-        - a CoW commit rebases only if no concurrently-committed change
-          touched its buckets (otherwise the base replace would discard the
-          competitor's rows) and the table schema did not move (otherwise the
-          schema this merge decoded with may be stale).
+        - a CoW commit rebases when its buckets' plan-time files are intact
+          and the delta lists only GREW (Iceberg: appends never conflict
+          with a rewrite): the new base replaces exactly what the fold read,
+          and the competitor's appended delta files are carried forward over
+          it — read-time LWW applies them as usual. Only a competitor that
+          REPLACED the bucket (its own CoW/compaction) forces a re-plan, as
+          does a schema move (the schema this merge decoded with is stale).
 
         A non-rebasable conflict raises CommitConflictError — the merge layer
         re-plans the whole batch against the fresh snapshot."""
-        prev = base_snapshot if base_snapshot is not None else self.snapshot()
+        plan = base_snapshot if base_snapshot is not None else self.snapshot()
+        prev = plan
         for _ in range(max(rebase_attempts, 1)):
             files = dict(prev["files"])
             deltas = dict(prev["deltas"])
             fs = dict(prev["filestats"])
             for b in cow_buckets:
-                for p in files.get(str(b), []) + deltas.get(str(b), []):
+                pf = plan["files"].get(str(b), [])
+                pd = plan["deltas"].get(str(b), [])
+                cf = prev["files"].get(str(b), [])
+                cd = prev["deltas"].get(str(b), [])
+                if cf != pf or cd[: len(pd)] != pd:
+                    raise CommitConflictError(
+                        f"bucket {b}: a concurrent commit replaced files this "
+                        f"CoW rewrite folded — re-plan on the fresh snapshot"
+                    )
+                for p in pf + pd:
                     fs.pop(p, None)
                 files[str(b)] = cow_files.get(str(b), [])
-                deltas[str(b)] = []
+                # delta files appended by a competitor AFTER this rewrite was
+                # planned stay live over the new base
+                deltas[str(b)] = cd[len(pd):]
             for b, ps in mor_files.items():
                 if ps:
                     deltas[str(b)] = deltas.get(str(b), []) + ps
             fs.update(filestats)
             merged_summary = summary
-            if prev is not base_snapshot and base_snapshot is not None:
+            if prev is not plan:
                 merged_summary = _rebase_summary(summary, prev["summary"])
             try:
                 return self.commit(
@@ -894,16 +925,12 @@ class SnapshotLakeTable:
                 )
             except CommitConflictError:
                 cur = self.snapshot()
-                if base_snapshot is not None and cur.get("schema") != base_snapshot.get(
+                if base_snapshot is not None and cur.get("schema") != plan.get(
                     "schema"
                 ):
                     raise  # schema moved under us: re-plan with the new schema
-                ref = base_snapshot if base_snapshot is not None else prev
-                for b in cow_buckets:
-                    if cur["files"].get(str(b)) != ref["files"].get(str(b)) or cur[
-                        "deltas"
-                    ].get(str(b)) != ref["deltas"].get(str(b)):
-                        raise  # competitor touched a bucket we are replacing
+                global REBASE_COUNT
+                REBASE_COUNT += 1
                 prev = cur  # rebase: re-derive the manifest merge and re-CAS
         raise CommitConflictError(
             f"commit_merge could not land after {rebase_attempts} rebases"

@@ -215,9 +215,11 @@ def merge_batch(
     """
     import random
 
+    from palimpzest_spark.cdc import lake as _lake
     from palimpzest_spark.cdc.lake import CommitConflictError
 
     t0 = time.perf_counter()
+    rebases0 = _lake.REBASE_COUNT
     last_err: Exception | None = None
     for attempt in range(8):
         if batch_id <= table.last_batch_id(writer_id):
@@ -234,6 +236,9 @@ def merge_batch(
             m = _merge_once(spark, table, batch, batch_id, t0, writer_id)
             if attempt:
                 m["commit_retries"] = attempt
+            rebases = _lake.REBASE_COUNT - rebases0
+            if rebases:
+                m["commit_rebases"] = rebases
             return m
         except CommitConflictError as e:
             last_err = e
@@ -562,9 +567,11 @@ def _merge_delta_first(
         {b: 0 for b, s in table.bucket_stats().items() if s["delta_files"]},
         incoming_delta=False,
     )
+    compact_sec = 0.0
     if overflow:
         from palimpzest_spark.cdc.lake import CommitConflictError
 
+        t_cp = time.perf_counter()
         try:
             table.compact(spark, overflow)
         except CommitConflictError:
@@ -572,6 +579,7 @@ def _merge_delta_first(
             # maintenance — under writer contention defer it to a later batch
             # rather than failing (and re-skipping) a committed merge
             overflow = []
+        compact_sec = time.perf_counter() - t_cp
 
     elapsed = time.perf_counter() - t0
     if _DEBUG:
@@ -586,6 +594,7 @@ def _merge_delta_first(
         "events": n_events,
         "affected_buckets": len(new_files),
         "compacted_buckets": len(overflow),
+        "compact_sec": round(compact_sec, 3),
         "delta_buckets": len(new_files),
         "fused": True,
         "lineage": lineage,

@@ -1117,3 +1117,82 @@ def test_rebase_summary_monotone_txn_and_offsets():
     assert out["last_batch_id"] == 5
     assert out["n_source_partitions"] == 3
     assert out["batch_events"] == 100  # per-batch advisory stays ours
+
+
+def test_commit_merge_rebase_rules(tmp_path):
+    """Driver-side conflict rebase (metadata only, no Spark jobs):
+    - a MoR delta append commutes with a concurrent commit → rebased and
+      landed without re-planning, preserving BOTH writers' delta files and
+      merging summaries monotonically;
+    - a CoW replace whose bucket a competitor APPENDED to rebases with the
+      appended delta files carried forward over the new base (Iceberg:
+      appends never conflict with a rewrite);
+    - a CoW replace whose bucket a competitor REPLACED must raise (rebasing
+      would discard the competitor's fold);
+    - a schema move under a concurrent commit must raise (stale decode
+      schema)."""
+    from palimpzest_spark.cdc import lake as lake_mod
+
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=4)
+    table.commit({
+        "files": {"0": ["b0.parquet"]}, "deltas": {}, 
+        "filestats": {"b0.parquet": {"rows": 10}}, "schema": {"t": "base"},
+        "summary": {"last_batch_id": -1, "offsets": {}, "txn": {}},
+    })
+    base = table.snapshot()
+
+    # competitor lands a MoR append on bucket 1 after our plan
+    table.commit_merge(
+        [], {}, {"1": ["w2-d1.parquet"]}, {"w2-d1.parquet": {"rows": 3}},
+        base["schema"], {"last_batch_id": 0, "offsets": {"0": 5},
+                         "txn": {"B": 0}}, base_snapshot=base)
+
+    # our MoR append planned on the STALE base → must rebase, not raise
+    r0 = lake_mod.REBASE_COUNT
+    table.commit_merge(
+        [], {}, {"1": ["w1-d1.parquet"]}, {"w1-d1.parquet": {"rows": 4}},
+        base["schema"], {"last_batch_id": 0, "offsets": {"1": 7},
+                         "txn": {"A": 0}}, base_snapshot=base)
+    assert lake_mod.REBASE_COUNT == r0 + 1
+    cur = table.snapshot()
+    assert sorted(cur["deltas"]["1"]) == ["w1-d1.parquet", "w2-d1.parquet"]
+    assert cur["summary"]["txn"] == {"A": 0, "B": 0}
+    assert cur["summary"]["offsets"] == {"0": 5, "1": 7}
+
+    # CoW of bucket 1 planned BEFORE both deltas landed there: rebases, and
+    # the concurrently-appended delta files survive over the new base (they
+    # hold rows the fold never saw — read-time LWW still applies them)
+    r1 = lake_mod.REBASE_COUNT
+    table.commit_merge(
+        ["1"], {"1": ["w1-cow.parquet"]}, {}, {"w1-cow.parquet": {"rows": 9}},
+        base["schema"], dict(cur["summary"]), base_snapshot=base)
+    assert lake_mod.REBASE_COUNT == r1 + 1
+    cur2 = table.snapshot()
+    assert cur2["files"]["1"] == ["w1-cow.parquet"]
+    assert cur2["deltas"]["1"] == ["w2-d1.parquet", "w1-d1.parquet"]
+
+    # CoW of bucket 1 planned before the CoW above REPLACED it → the
+    # replaced base is a real conflict, non-rebasable
+    with pytest.raises(lake_mod.CommitConflictError):
+        table.commit_merge(
+            ["1"], {"1": ["w2-cow.parquet"]}, {}, {"w2-cow.parquet": {"rows": 2}},
+            cur["schema"], dict(cur["summary"]), base_snapshot=cur)
+
+    # CoW on an UNTOUCHED bucket rebases fine across the same history
+    r2 = lake_mod.REBASE_COUNT
+    table.commit_merge(
+        ["0"], {"0": ["w1-cow0.parquet"]}, {}, {"w1-cow0.parquet": {"rows": 9}},
+        base["schema"], dict(cur2["summary"]), base_snapshot=base)
+    assert lake_mod.REBASE_COUNT == r2 + 1
+    cur2 = table.snapshot()
+    assert cur2["files"]["0"] == ["w1-cow0.parquet"]
+    assert cur2["deltas"]["1"] == ["w2-d1.parquet", "w1-d1.parquet"]
+
+    # schema moved under a planned commit → non-rebasable
+    table.commit_merge(
+        [], {}, {"2": ["w2-d2.parquet"]}, {"w2-d2.parquet": {"rows": 1}},
+        {"t": "evolved"}, dict(cur2["summary"]), base_snapshot=cur2)
+    with pytest.raises(lake_mod.CommitConflictError):
+        table.commit_merge(
+            [], {}, {"3": ["w1-d3.parquet"]}, {"w1-d3.parquet": {"rows": 1}},
+            cur2["schema"], dict(cur2["summary"]), base_snapshot=cur2)
