@@ -86,7 +86,10 @@ def clone_table(src_root: str, dst_root: str) -> None:
         for fn in filenames:
             s, d = os.path.join(dirpath, fn), os.path.join(dst_dir, fn)
             if fn.endswith(".parquet"):
-                os.link(s, d)
+                try:
+                    os.link(s, d)
+                except OSError:  # EXDEV: src/dst on different filesystems
+                    _sh.copy(s, d)
             else:
                 _sh.copy(s, d)
 

@@ -690,11 +690,55 @@ class SnapshotLakeTable:
                 mor.append(b)
         return cow, mor
 
+    # -- maintenance claims ---------------------------------------------------
+
+    def try_claim(self, name: str, ttl_sec: float = 900.0) -> bool:
+        """Advisory maintenance claim via atomic create-if-absent (the same
+        primitive the commit CAS uses, so it needs nothing beyond a
+        rename-atomic store). Concurrent writers use claims to avoid running
+        DUPLICATE maintenance jobs — without them, two writers observing the
+        same overflowing bucket both run the full fold and the loser's
+        output is dropped by rewrite validation (measured: the shared-table
+        arm of ``mwbench`` ran ~2x the expected compaction events). Claims
+        are advisory (correctness never depends on them — validation still
+        gates the commit) and self-expire after ``ttl_sec`` so a crashed
+        holder cannot wedge maintenance."""
+        path = os.path.join(self.meta_dir, "claims", name + ".lock")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        for _ in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(path).st_mtime
+                except OSError:
+                    continue  # holder released between open and stat: retry
+                if age <= ttl_sec:
+                    return False
+                try:
+                    os.unlink(path)  # stale (crashed holder): break and retry
+                except OSError:
+                    pass
+        return False
+
+    def release_claim(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self.meta_dir, "claims", name + ".lock"))
+        except OSError:
+            pass
+
     def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> int:
         """Maintenance compaction: fold base ∪ deltas of the given buckets
         (default: every bucket holding deltas) into fresh key-unique base
         files. State-preserving (same LWW fold the readers apply); tombstones
-        are kept so late out-of-order events still cannot resurrect rows."""
+        are kept so late out-of-order events still cannot resurrect rows.
+
+        Buckets another process currently holds a maintenance claim on are
+        skipped (they stay uncompacted until the holder finishes or next
+        maintenance) — see ``try_claim``."""
         snap = self.snapshot()
         # default: only delta-holding buckets need folding; an EXPLICIT
         # bucket list forces a rewrite even without deltas (Iceberg's
@@ -705,8 +749,18 @@ class SnapshotLakeTable:
             if snap["deltas"].get(str(b))
             or (buckets is not None and snap["files"].get(str(b)))
         ]
+        todo = [b for b in todo if self.try_claim(f"compact-b{b}")]
         if not todo:
             return self.current_version()
+        try:
+            return self._compact_claimed(spark, snap, todo)
+        finally:
+            for b in todo:
+                self.release_claim(f"compact-b{b}")
+
+    def _compact_claimed(
+        self, spark: SparkSession, snap: dict, todo: list[int]
+    ) -> int:
         raw = self.read_raw(spark, todo)
         # ts-sorted, size-split output (Iceberg sort-order discipline): each
         # bucket's base lands as one-or-more time-sliced files with NARROW

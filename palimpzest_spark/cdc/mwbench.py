@@ -56,7 +56,7 @@ n_buckets, fpb = int(n_buckets), int(fpb)
 os.sched_setaffinity(0, set(range(cpu_offset, cpu_offset + cores)))
 import shutil, tempfile
 from palimpzest_spark.session import get_spark
-from palimpzest_spark.cdc.bench import clone_table, _WORK_ROOT
+from palimpzest_spark.cdc.bench import clone_table
 from palimpzest_spark.cdc.lake import SnapshotLakeTable
 from palimpzest_spark.cdc.runner import replay_batches
 
@@ -64,7 +64,8 @@ spark = get_spark(app_name=f"mw-{writer_id}", master=f"local[{cores}]",
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 # warmup: full replay of the same feed into a throwaway clone, so codegen/
 # C2/parquet codecs are hot when the barrier releases (both arms equally)
-warm = tempfile.mkdtemp(prefix="pz_mw_warm_", dir=_WORK_ROOT)
+warm = tempfile.mkdtemp(prefix="pz_mw_warm_",
+                        dir=os.path.dirname(template_dir.rstrip("/")))
 os.rmdir(warm); clone_table(template_dir, warm)
 replay_batches(spark, SnapshotLakeTable(warm, n_buckets=n_buckets), feed_dir,
                files_per_batch=fpb, writer_id=writer_id)
@@ -137,6 +138,11 @@ def _run_arm(
                 tables[w] = t
         go = os.path.join(work, "go")
         env = dict(os.environ)
+        # children must import this package regardless of the parent's cwd
+        import palimpzest_spark as _pkg
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         procs: dict[str, subprocess.Popen] = {}
         for i, (w, feed) in enumerate(sorted(feeds.items())):
             procs[w] = subprocess.Popen(
@@ -194,6 +200,7 @@ def run_multiwriter_bench(
     n_buckets: int = 16,
     rounds: int = 3,
     max_steal: float = 0.05,
+    spark: Any = None,
 ) -> dict[str, Any]:
     """See module docstring. The template is bootstrapped from writer A's
     base and PRIMED with one disjoint-key batch so its summary carries
@@ -219,15 +226,18 @@ def run_multiwriter_bench(
 
     cpus = max(len(os.sched_getaffinity(0)), 2)
     template = tempfile.mkdtemp(prefix="pz_mw_tmpl_", dir=_WORK_ROOT)
-    spark = get_spark(app_name="mw-template", master=f"local[{cpus}]",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="mw-template", master=f"local[{cpus}]",
+                          extra_conf={"spark.ui.showConsoleProgress": "false"})
     try:
         table = SnapshotLakeTable(template, n_buckets=n_buckets)
         bootstrap(spark, table, fix_a["base"])
         replay_batches(spark, table, prime["feed_dir"], files_per_batch=1,
                        writer_id="prime")
     finally:
-        spark.stop()
+        if own_session:
+            spark.stop()
 
     rows: list[dict[str, Any]] = []
     try:
@@ -250,11 +260,19 @@ def run_multiwriter_bench(
     ] or rows
     sep = statistics.median(r["separate"]["events_per_sec"] for r in clean)
     shr = statistics.median(r["shared"]["events_per_sec"] for r in clean)
+    # the headline is the median of PER-ROUND ratios over clean rounds: the
+    # two arms of one round share a host-weather window, so their ratio
+    # cancels noise that a cross-round median-of-medians would keep
+    ratios = [
+        r["shared"]["events_per_sec"] / r["separate"]["events_per_sec"]
+        for r in clean if r["separate"]["events_per_sec"]
+    ]
     return {
         "metric": "cdc_multiwriter_contention_ratio",
         "separate_events_per_sec": round(sep, 1),
         "shared_events_per_sec": round(shr, 1),
-        "contention_ratio": round(shr / sep, 3) if sep else None,
+        "contention_ratio": round(statistics.median(ratios), 3) if ratios else None,
+        "round_ratios": [round(x, 3) for x in ratios],
         "shared_rebases": sum(r["shared"]["rebases"] for r in rows),
         "shared_replans": sum(r["shared"]["replans"] for r in rows),
         "n_clean_rounds": len(

@@ -1196,3 +1196,50 @@ def test_commit_merge_rebase_rules(tmp_path):
         table.commit_merge(
             [], {}, {"3": ["w1-d3.parquet"]}, {"w1-d3.parquet": {"rows": 1}},
             cur2["schema"], dict(cur2["summary"]), base_snapshot=cur2)
+
+
+def test_multiwriter_bench_harness(spark, tmp_path, monkeypatch):
+    """run_multiwriter_bench plumbing at toy scale: disjoint renamed key
+    space for writer B, primed template, two pinned child drivers per arm,
+    and positive throughput in both arms. (The full-size contention ratio is
+    BENCH evidence, not a unit gate — host noise would make a threshold
+    assert flaky; commit-protocol exactness is
+    test_two_concurrent_writer_processes_occ_serialize and
+    test_commit_merge_rebase_rules.)"""
+    from palimpzest_spark.cdc import bench as B
+    from palimpzest_spark.cdc import mwbench as MW
+
+    monkeypatch.setattr(B, "CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(MW, "CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(MW, "_WORK_ROOT", str(tmp_path))
+
+    out = MW.run_multiwriter_bench(
+        n_events=2000, n_convs=100, n_files=4, files_per_batch=2,
+        n_buckets=4, rounds=1, spark=spark,
+    )
+    assert out["separate_events_per_sec"] > 0
+    assert out["shared_events_per_sec"] > 0
+    assert out["contention_ratio"] and out["contention_ratio"] > 0
+    assert len(out["rounds"]) == 1 and out["writers"] == 2
+
+
+def test_maintenance_claims(tmp_path):
+    """Advisory compaction claims: create-if-absent exclusivity, release,
+    and TTL expiry of a crashed holder's stale claim."""
+    import os
+    import time as _time
+
+    table = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=4)
+    assert table.try_claim("compact-b1")
+    assert not table.try_claim("compact-b1")  # held by "another" process
+    assert table.try_claim("compact-b2")      # disjoint name unaffected
+    table.release_claim("compact-b1")
+    assert table.try_claim("compact-b1")      # released → reclaimable
+
+    # a crashed holder's claim self-expires after the TTL
+    path = os.path.join(table.meta_dir, "claims", "compact-b1.lock")
+    old = _time.time() - 10_000
+    os.utime(path, (old, old))
+    assert table.try_claim("compact-b1", ttl_sec=900)
+    table.release_claim("compact-b2")
+    table.release_claim("compact-b1")
