@@ -127,6 +127,7 @@ def replay_stream(
     max_batches: int | None = None,
     quarantine_rules: list | None = None,
     dead_letter_dir: str | None = None,
+    writer_id: str | None = None,
 ) -> list[dict[str, Any]]:
     """Structured Streaming replay with checkpoint resume.
 
@@ -134,7 +135,12 @@ def replay_stream(
     test); a later call with the same checkpoint continues from the next
     unprocessed file and converges to the same final state.
     ``quarantine_rules`` gates each microbatch inside foreachBatch, same
-    contract as replay_batches.
+    contract as replay_batches. ``writer_id`` namespaces the idempotence
+    watermark exactly as in ``replay_batches`` — one streaming query per
+    feed shard, N shards sharing one table. (Each shard needs its OWN
+    checkpoint dir: the checkpoint tracks that query's source offsets,
+    while exactly-once against the TABLE rides the per-writer txn
+    watermark + commit CAS, the Iceberg/Delta idempotent-sink contract.)
     """
     metrics: list[dict[str, Any]] = []
     reader = spark.readStream.schema(FEED_SCHEMA)
@@ -148,7 +154,7 @@ def replay_stream(
             batch_df, n_bad = _apply_quarantine(
                 batch_df, quarantine_rules, dead_letter_dir, batch_id
             )
-        m = merge_batch(spark, table, batch_df, batch_id)
+        m = merge_batch(spark, table, batch_df, batch_id, writer_id=writer_id)
         m["quarantined"] = n_bad
         _emit(table, m)
         metrics.append(m)
@@ -233,6 +239,7 @@ def main() -> None:
             ms = replay_stream(
                 spark, table, args.feed, args.checkpoint,
                 quarantine_rules=rules, dead_letter_dir=args.dead_letter,
+                writer_id=args.writer_id,
             )
         else:
             ms = replay_batches(

@@ -1243,3 +1243,51 @@ def test_maintenance_claims(tmp_path):
     assert table.try_claim("compact-b1", ttl_sec=900)
     table.release_claim("compact-b2")
     table.release_claim("compact-b1")
+
+
+def test_two_streaming_shards_share_table(spark, tmp_path):
+    """Streaming multi-writer API parity: two shard streams (own checkpoint
+    + writer_id each, disjoint key spaces) replayed into ONE table. Both use
+    microbatch ids starting at 0 — under the legacy global watermark the
+    second stream would skip every batch; the per-writer txn watermark must
+    apply them all, and the final state must equal the fold of both feeds."""
+    d = tmp_path
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=40, max_turns=6, seed=31)
+    feedgen.gen_change_feed(
+        str(d / "feedA"), n_events=1500, n_convs=40, max_turns=6, n_files=3, seed=31
+    )
+    feedgen.gen_change_feed(
+        str(d / "feedB"), n_events=1500, n_convs=40, max_turns=6, n_files=3, seed=32
+    )
+    for p in sorted(glob.glob(str(d / "feedB" / "feed-*.parquet"))):
+        fb = pd.read_parquet(p)
+        fb["conv_id"] = fb["conv_id"].str.replace("conv-", "convB-", regex=False)
+        fb.to_parquet(p, index=False)
+
+    table = SnapshotLakeTable(str(d / "lake"), n_buckets=8)
+    bootstrap(spark, table, base)
+    ms_a = replay_stream(
+        spark, table, str(d / "feedA"), str(d / "ckptA"),
+        max_files_per_trigger=1, writer_id="A",
+    )
+    ms_b = replay_stream(
+        spark, table, str(d / "feedB"), str(d / "ckptB"),
+        max_files_per_trigger=1, writer_id="B",
+    )
+    assert sum(m["events"] for m in ms_a) > 0
+    assert sum(m["events"] for m in ms_b) > 0, "shard B was skipped"
+    assert not any(m.get("skipped") for m in ms_b)
+    assert table.last_batch_id("A") >= 0 and table.last_batch_id("B") >= 0
+
+    feed_a = pd.concat(
+        [pd.read_parquet(p) for p in sorted(glob.glob(str(d / "feedA" / "feed-*.parquet")))],
+        ignore_index=True,
+    )
+    feed_b = pd.concat(
+        [pd.read_parquet(p) for p in sorted(glob.glob(str(d / "feedB" / "feed-*.parquet")))],
+        ignore_index=True,
+    )
+    expected = fold(
+        pd.read_parquet(base), pd.concat([feed_a, feed_b], ignore_index=True)
+    )
+    _assert_state_equal(_actual(spark, table), expected)
