@@ -79,7 +79,11 @@ def clone_table(src_root: str, dst_root: str) -> None:
     once per trial — the clone itself is metadata-sized work."""
     import shutil as _sh
 
-    for dirpath, _dirnames, filenames in os.walk(src_root):
+    for dirpath, dirnames, filenames in os.walk(src_root):
+        # advisory maintenance claims are per-process state, not table state:
+        # cloning one would block the clone's compaction for the claim TTL
+        if "claims" in dirnames and os.path.basename(dirpath) == "metadata":
+            dirnames.remove("claims")
         rel = os.path.relpath(dirpath, src_root)
         dst_dir = os.path.join(dst_root, rel) if rel != "." else dst_root
         os.makedirs(dst_dir, exist_ok=True)
