@@ -226,6 +226,12 @@ def expire_snapshots(
         if not os.listdir(dirpath):
             os.rmdir(dirpath)
 
+    # Manifests are log-structured (lake.py): a retained version may be a
+    # delta record whose chain bottoms out in a manifest about to be
+    # deleted. Materialize the oldest retained version as a full checkpoint
+    # first — later retained deltas replay on top of it, so the chain stays
+    # closed under expiry.
+    table.checkpoint_manifest(min(keep))
     removed_snapshots = 0
     for v in range(1, cur + 1):
         if v in keep:
