@@ -121,6 +121,10 @@ KEY_COLS = ("conv_id", "turn_idx")
 # or once its delta-file fan-in would exceed COMPACT_MAX_DELTA_FILES.
 COMPACT_RATIO = 0.5
 COMPACT_MAX_DELTA_FILES = 8
+# Compaction output sizing floor: never split a bucket's fold into files
+# smaller than this many records (guards the small-file cliff; tests lower
+# it to exercise multi-file-per-bucket layouts at toy scale).
+COMPACT_MIN_RECORDS_PER_FILE = 10_000
 
 # Manifest log-structuring: at most this many consecutive delta records
 # before a commit is forced to write a full (self-contained) checkpoint
@@ -160,14 +164,12 @@ def suggest_n_buckets(est_table_bytes: int, target_bucket_bytes: int = 256 << 20
     return max(1 << math.ceil(math.log2(need)), 4)
 
 
-def _pq_ts_range(path: str) -> tuple[int | None, int | None]:
+def _pq_ts_range(md) -> tuple[int | None, int | None]:
     """(min, max) epoch-microseconds of the ``ts`` column from parquet
-    row-group statistics — footer metadata only, no data pages."""
+    row-group statistics (``md``: a pyarrow ``FileMetaData``) — footer
+    metadata only, no data pages."""
     import datetime
 
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
     try:
         idx = md.schema.names.index("ts")
     except ValueError:
@@ -199,17 +201,58 @@ def _pq_ts_range(path: str) -> tuple[int | None, int | None]:
     return lo, hi
 
 
-def _pq_rows(path: str) -> int:
-    """Row count from the parquet footer — driver-side metadata read, no job."""
+def _pq_str_range(md, col: str = "conv_id") -> tuple[str | None, str | None]:
+    """(min, max) of a string column from parquet row-group statistics
+    (``md``: a pyarrow ``FileMetaData``). Parquet stats are conservative
+    bounds when truncated (parquet-mr pads/increments the max), so the
+    returned range may be wider than the true one but never narrower —
+    exactly the zone-map contract (false keeps allowed, false skips not).
+    Any group with unusable stats voids the map (None, None) → file kept."""
+    try:
+        idx = md.schema.names.index(col)
+    except ValueError:
+        return None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        stats = group.column(idx).statistics
+        if stats is None or not stats.has_min_max:
+            return None, None
+        mn, mx = stats.min, stats.max
+        if isinstance(mn, bytes):
+            try:
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            except UnicodeDecodeError:
+                return None, None
+        if not isinstance(mn, str):
+            return None, None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi
+
+
+def _pq_footer(path: str):
+    """Parsed parquet footer metadata — one driver-side read powering row
+    count + every zone map (no data pages, no Spark job)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    return pq.ParquetFile(path).metadata
 
 
 class SnapshotLakeTable:
-    def __init__(self, root: str, n_buckets: int = 16):
+    def __init__(self, root: str, n_buckets: int = 16, sort_order: str = "ts"):
+        if sort_order not in ("ts", "key"):
+            raise ValueError(f"sort_order must be 'ts' or 'key', got {sort_order!r}")
         self.root = root
         self.n_buckets = n_buckets
+        # Compaction layout (Iceberg SortOrder analog), TABLE metadata like
+        # n_buckets: "ts" time-slices each bucket's base files (read_ts_range
+        # skips whole files), "key" clusters them on (conv_id, turn_idx)
+        # (read_conv skips whole base files via the cv_* zone maps — the
+        # point-lookup-heavy workload's choice). Affects only future
+        # compactions/rebuckets, so it may be altered any time
+        # (alter_sort_order); the next rewrite adopts the new layout.
+        self.sort_order = sort_order
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -223,6 +266,9 @@ class SnapshotLakeTable:
             persisted = self._peek_n_buckets()
             if persisted:
                 self.n_buckets = persisted
+            ps = self._peek_meta_key("sort_order")
+            if ps in ("ts", "key"):
+                self.sort_order = ps
         # Snapshots are immutable once committed, so parsed manifests are
         # cached by version. At steady state a merge consults the manifest
         # ~6x per batch (idempotence gate, summary, compaction plan, scan,
@@ -265,10 +311,19 @@ class SnapshotLakeTable:
         """Persisted bucket count of the current snapshot, read directly from
         the manifest file (no snapshot cache — callable from __init__).
         Tables written before n_buckets was persisted return None."""
+        nb = self._peek_meta_key("n_buckets")
+        try:
+            return int(nb) if nb else None
+        except ValueError:
+            return None
+
+    def _peek_meta_key(self, key: str):
+        """A table-property key read directly off the current raw manifest
+        (full or delta record — both carry the property keys; no snapshot
+        cache, callable from __init__)."""
         try:
             with open(os.path.join(self.meta_dir, f"v{self.current_version()}.json")) as f:
-                nb = json.load(f).get("n_buckets")
-            return int(nb) if nb else None
+                return json.load(f).get(key)
         except (FileNotFoundError, ValueError):
             return None
 
@@ -356,7 +411,7 @@ class SnapshotLakeTable:
             "schema": rec.get("schema"),
             "summary": rec.get("summary"),
         }
-        for k in ("committed_at", "n_buckets", "rebucketed_from"):
+        for k in ("committed_at", "n_buckets", "sort_order", "rebucketed_from"):
             if rec.get(k) is not None:
                 out[k] = rec[k]
         return out
@@ -454,6 +509,7 @@ class SnapshotLakeTable:
         # bucket count rides every manifest so readers can never hash point
         # lookups with a different count than the files were written under
         snap.setdefault("n_buckets", self.n_buckets)
+        snap.setdefault("sort_order", self.sort_order)
         record, chain = self._encode_commit(new_v, snap)
         path = os.path.join(self.meta_dir, f"v{new_v}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -535,6 +591,7 @@ class SnapshotLakeTable:
             "version": new_v,
             "committed_at": snap.get("committed_at"),
             "n_buckets": snap.get("n_buckets"),
+            "sort_order": snap.get("sort_order"),
             "schema": snap.get("schema"),
             "summary": snap.get("summary"),
             "buckets": buckets,
@@ -663,16 +720,20 @@ class SnapshotLakeTable:
         if not conv_ids:
             schema = self.schema(version) or T.StructType([])
             return spark.createDataFrame([], schema)
-        nb = int(self.snapshot(version).get("n_buckets") or self.n_buckets)
+        snap = self.snapshot(version)
+        nb = int(snap.get("n_buckets") or self.n_buckets)
         ids = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
         rows = ids.select(
             F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("b")
         ).distinct().collect()
         buckets = sorted(r["b"] for r in rows)
-        df = self.read_raw(spark, buckets=buckets, version=version)
-        if df is None:
+        paths, _skipped = self._conv_prune(snap, buckets, conv_ids)
+        if not paths:
             schema = self.schema(version) or T.StructType([])
             return spark.createDataFrame([], schema)
+        df = spark.read.schema(self.schema(version)).parquet(
+            *[os.path.join(self.root, p) for p in paths]
+        )
         if self.has_deltas(version):
             df = lww_fold(df)
         public = [c for c in df.columns if c not in META_COLS]
@@ -681,6 +742,44 @@ class SnapshotLakeTable:
             .filter(F.col("conv_id").isin(conv_ids))
             .select(*public)
         )
+
+    def _conv_prune(
+        self, snap: dict, buckets: list[int], conv_ids: list[str]
+    ) -> tuple[list[str], int]:
+        """Sub-bucket file skipping for point lookups: within the candidate
+        buckets, drop every file whose [cv_min, cv_max] footer zone map
+        contains none of the requested conversation ids. SAFE UNDER
+        MERGE-ON-READ, unlike ts pruning: conv_id is the fold KEY, so a file
+        holding none of the requested keys contributes nothing to their LWW
+        fold — the rule applies to base AND delta files alike (a delta file
+        covers only its batch's conversations, so lookups skip most deltas
+        even under the default ts sort order; base-file skipping needs
+        sort_order="key" clustering). Files without a map are kept.
+        Returns (paths_to_read, files_skipped)."""
+        import bisect
+
+        want = sorted(set(conv_ids))
+        fstats = snap.get("filestats", {})
+
+        def _hit(rel: str) -> bool:
+            st = fstats.get(rel, {})
+            lo, hi = st.get("cv_min"), st.get("cv_max")
+            if lo is None or hi is None:
+                return True  # no zone map: must read
+            i = bisect.bisect_left(want, lo)
+            return i < len(want) and want[i] <= hi
+
+        paths, skipped = [], 0
+        for b in buckets:
+            for rel in snap["files"].get(str(b), []) + snap["deltas"].get(str(b), []):
+                if _hit(rel):
+                    paths.append(rel)
+                else:
+                    skipped += 1
+        if skipped and os.environ.get("PZ_CDC_DEBUG", "") == "1":
+            print(f"    [read_conv] zone-map skipped {skipped} files, "
+                  f"reading {len(paths)}")
+        return paths, skipped
 
     def read_ts_range(
         self,
@@ -788,12 +887,20 @@ class SnapshotLakeTable:
 
         def _stat(rel: str) -> tuple[str, dict]:
             ap = os.path.join(self.root, rel)
-            st = {"bytes": os.path.getsize(ap), "rows": _pq_rows(ap)}
-            zmin, zmax = _pq_ts_range(ap)
+            md = _pq_footer(ap)
+            st = {"bytes": os.path.getsize(ap), "rows": md.num_rows}
+            zmin, zmax = _pq_ts_range(md)
             if zmin is not None:
                 # zone map: per-file ts range from parquet footer statistics
                 # (no data read) — powers read_ts_range file skipping
                 st["ts_min"], st["ts_max"] = zmin, zmax
+            cmin, cmax = _pq_str_range(md, "conv_id")
+            if cmin is not None:
+                # key zone map — powers read_conv sub-bucket file skipping.
+                # Discriminating on base files only under sort_order="key"
+                # (ts-sorted bases span all convs); always useful on delta
+                # files, which cover only their batch's conversations.
+                st["cv_min"], st["cv_max"] = cmin, cmax
             return rel, st
 
         with ThreadPoolExecutor(max_workers=min(16, max(len(rels), 1))) as ex:
@@ -974,18 +1081,47 @@ class SnapshotLakeTable:
             for b in todo:
                 self.release_claim(f"compact-b{b}")
 
+    def _sort_cols(self) -> tuple[str, ...]:
+        """Within-bucket compaction sort columns for the table's sort order:
+        "ts" time-slices (narrow ts_min/ts_max footer zone maps →
+        read_ts_range file skipping), "key" clusters conversations (narrow
+        cv_min/cv_max maps → read_conv base-file skipping, plus parquet
+        row-group pruning on the merge join key)."""
+        return (
+            ("_bucket", "conv_id", "turn_idx")
+            if self.sort_order == "key"
+            else ("_bucket", "ts")
+        )
+
+    def alter_sort_order(self, sort_order: str) -> int:
+        """Change the table's compaction sort order (Iceberg `ALTER TABLE ..
+        WRITE ORDERED BY` analog): a metadata-only commit — existing files
+        keep their layout and stay correct (zone maps are conservative);
+        each bucket adopts the new layout at its next compaction/rebucket.
+        Force it table-wide immediately with ``compact(spark,
+        buckets=range(n_buckets))``."""
+        if sort_order not in ("ts", "key"):
+            raise ValueError(f"sort_order must be 'ts' or 'key', got {sort_order!r}")
+        prev = self.snapshot()
+        self.sort_order = sort_order
+        if prev.get("sort_order") == sort_order:
+            return prev["version"]
+        return self.commit(
+            dict(prev, sort_order=sort_order), expect_version=prev["version"]
+        )
+
     def _compact_claimed(
         self, spark: SparkSession, snap: dict, todo: list[int]
     ) -> int:
         raw = self.read_raw(spark, todo)
-        # ts-sorted, size-split output (Iceberg sort-order discipline): each
-        # bucket's base lands as one-or-more time-sliced files with NARROW
-        # footer zone maps, so read_ts_range can skip whole files instead of
-        # re-reading all history on every time-window query
+        # sorted, size-split output (Iceberg sort-order discipline): each
+        # bucket's base lands as one-or-more files with NARROW footer zone
+        # maps on the sort column — whole-file skipping for the matching
+        # read path (_sort_cols) instead of re-reading all history
         folded = (
             lww_fold(raw)
             .hint("rebalance", "_bucket")
-            .sortWithinPartitions("_bucket", "ts")
+            .sortWithinPartitions(*self._sort_cols())
         )
         bstats = self.bucket_stats()
         rows = sum(
@@ -993,7 +1129,7 @@ class SnapshotLakeTable:
             + bstats.get(b, {}).get("delta_rows", 0)
             for b in todo
         )
-        per_file = max(rows // max(len(todo) * 4, 1), 10_000)
+        per_file = max(rows // max(len(todo) * 4, 1), COMPACT_MIN_RECORDS_PER_FILE)
         _, new_files, stats = self.write_files(
             folded, todo, max_records_per_file=per_file
         )
@@ -1094,10 +1230,10 @@ class SnapshotLakeTable:
                         F.pmod(F.xxhash64("conv_id"), F.lit(new_n_buckets)).cast("int"),
                     )
                     .hint("rebalance", "_bucket")
-                    .sortWithinPartitions("_bucket", "ts")
+                    .sortWithinPartitions(*self._sort_cols())
                 )
                 rows = sum(int(s.get("rows", 0)) for s in snap["filestats"].values())
-                per_file = max(rows // max(new_n_buckets * 4, 1), 10_000)
+                per_file = max(rows // max(new_n_buckets * 4, 1), COMPACT_MIN_RECORDS_PER_FILE)
                 _, new_files, stats = self.write_files(
                     folded, new_buckets, max_records_per_file=per_file
                 )

@@ -261,6 +261,63 @@ def test_peek_n_buckets_reads_delta_record(tmp_path):
     assert cold.n_buckets == 4
 
 
+def test_random_commit_successions_replay_identically(tmp_path):
+    """Property: for ANY mix of appends / compactions / bucket drops /
+    stat-only changes, a cold reader's replayed snapshots equal the
+    writer's in-memory ones at every version (hypothesis-driven)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.sampled_from(["append", "compact", "drop_bucket"])
+    step = st.tuples(op, st.integers(0, 3))
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(steps=st.lists(step, min_size=1, max_size=12))
+    def run(steps):
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(dir=tmp_path, prefix="hlake-")
+        try:
+            t = _mk_table(os.path.join(root, "lake"))
+            for i, (kind, b) in enumerate(steps, start=1):
+                prev = t.snapshot()
+                if kind == "append":
+                    _append_commit(t, i, buckets=(b,))
+                elif kind == "compact":
+                    _compact_commit(t, i, bucket=b)
+                else:
+                    files = {k: v for k, v in prev["files"].items() if k != str(b)}
+                    deltas = {k: v for k, v in prev["deltas"].items() if k != str(b)}
+                    gone = set(prev["files"].get(str(b), [])) | set(
+                        prev["deltas"].get(str(b), [])
+                    )
+                    fs = {
+                        p: s for p, s in prev["filestats"].items() if p not in gone
+                    }
+                    t.commit(
+                        {
+                            "files": files,
+                            "deltas": deltas,
+                            "filestats": fs,
+                            "schema": prev["schema"],
+                            "summary": prev["summary"],
+                        },
+                        expect_version=prev["version"],
+                    )
+            cold = SnapshotLakeTable(os.path.join(root, "lake"))
+            for v in range(1, t.current_version() + 1):
+                assert _norm(cold.snapshot(v)) == _norm(t.snapshot(v)), f"v{v}"
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_interval_zero_disables_deltas(tmp_path, monkeypatch):
     """The metabench 'full' arm contract: interval 0 → every commit full."""
     monkeypatch.setattr(lake_mod, "CHECKPOINT_INTERVAL", 0)
