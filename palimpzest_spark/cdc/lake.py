@@ -734,14 +734,17 @@ class SnapshotLakeTable:
         df = spark.read.schema(self.schema(version)).parquet(
             *[os.path.join(self.root, p) for p in paths]
         )
+        # key filter BEFORE the fold: the LWW fold is per-key, so dropping
+        # other keys' rows up front is exact — and as a scan-level predicate
+        # it reaches the parquet reader (row-group min/max skipping inside
+        # kept files; with sort_order="key" clustering most groups prune).
+        # The tombstone filter must stay POST-fold: a delete may be the
+        # newest version and pre-filtering it would resurrect the old row.
+        df = df.filter(F.col("conv_id").isin(conv_ids))
         if self.has_deltas(version):
             df = lww_fold(df)
         public = [c for c in df.columns if c not in META_COLS]
-        return (
-            df.filter(~F.col("_deleted"))
-            .filter(F.col("conv_id").isin(conv_ids))
-            .select(*public)
-        )
+        return df.filter(~F.col("_deleted")).select(*public)
 
     def _conv_prune(
         self, snap: dict, buckets: list[int], conv_ids: list[str]

@@ -134,6 +134,37 @@ def test_key_sorted_compaction_prunes_base_files(spark, one_bucket_table, monkey
         }
 
 
+def test_point_lookup_tombstone_not_resurrected(spark, tmp_path):
+    """read_conv pushes the key filter BELOW the LWW fold (scan-level
+    pushdown); the tombstone filter must stay above it — a delete arriving
+    in a delta file must suppress the base row, and an out-of-order older
+    update must not resurrect it."""
+    d = tmp_path / "t"
+    d.mkdir()
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=60, max_turns=2, seed=3)
+    feed = d / "feed"
+    feed.mkdir()
+    victim = _conv(7)  # exists in the base table
+    _write_feed(
+        str(feed / "feed-00000.parquet"),
+        [_ev("D", victim, 0, "", 5_000_000, 500)]
+        + [_ev("I", _conv(300 + i), 0, f"n{i}", 5_100_000 + i, 600 + i, 0, i + 1)
+           for i in range(10)],
+    )
+    _write_feed(
+        str(feed / "feed-00001.parquet"),
+        [_ev("U", victim, 0, "zombie", 4_000_000, 400)],  # older than the delete
+    )
+    t = SnapshotLakeTable(str(d / "lake"), n_buckets=2)
+    bootstrap(spark, t, base)
+    replay_batches(spark, t, str(feed), files_per_batch=1)
+    assert t.has_deltas(), "fixture should exercise the merge-on-read fold"
+    rows = t.read_conv(spark, [victim]).collect()
+    assert all(r["turn_idx"] != 0 for r in rows), "deleted turn resurrected"
+    live = t.read_conv(spark, [_conv(305)]).collect()
+    assert [(r["conv_id"], r["text"]) for r in live] == [(_conv(305), "n5")]
+
+
 def test_sort_order_persists_and_alters(tmp_path):
     t = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=2, sort_order="key")
     t.commit(
