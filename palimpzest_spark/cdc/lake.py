@@ -741,7 +741,14 @@ class SnapshotLakeTable:
         # The tombstone filter must stay POST-fold: a delete may be the
         # newest version and pre-filtering it would resurrect the old row.
         df = df.filter(F.col("conv_id").isin(conv_ids))
-        if self.has_deltas(version):
+        # fold only if the SCAN kept a delta file — base files are key-unique
+        # by construction, so a lookup over compacted (or delta-pruned)
+        # buckets skips the groupBy shuffle entirely, even while other
+        # buckets of the table still carry deltas
+        delta_rels = {
+            p for b in buckets for p in snap["deltas"].get(str(b), [])
+        }
+        if any(p in delta_rels for p in paths):
             df = lww_fold(df)
         public = [c for c in df.columns if c not in META_COLS]
         return df.filter(~F.col("_deleted")).select(*public)
@@ -814,11 +821,13 @@ class SnapshotLakeTable:
         snap = self.snapshot(version)
         fstats = snap.get("filestats", {})
         paths = []
+        scanned_deltas = False
         for b in range(int(snap.get("n_buckets") or self.n_buckets)):
             deltas = snap["deltas"].get(str(b), [])
             base = snap["files"].get(str(b), [])
             if deltas:
                 paths += base + deltas  # no pruning: fold needs every version
+                scanned_deltas = True
                 continue
             for rel in base:
                 st = fstats.get(rel, {})
@@ -832,7 +841,10 @@ class SnapshotLakeTable:
         df = spark.read.schema(schema).parquet(
             *[os.path.join(self.root, p) for p in paths]
         )
-        if self.has_deltas(version):
+        # fold only if a delta file is actually in the scan: base files are
+        # key-unique, so a range read over compacted buckets skips the
+        # groupBy shuffle even while OTHER buckets still carry deltas
+        if scanned_deltas:
             df = lww_fold(df)
         public = [c for c in df.columns if c not in META_COLS]
         ts_col = F.col("ts")

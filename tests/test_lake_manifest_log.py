@@ -318,6 +318,55 @@ def test_random_commit_successions_replay_identically(tmp_path):
     run()
 
 
+def test_real_replay_writes_delta_records_and_cold_reads_match(spark, tmp_path):
+    """Integration: the actual merge path (bootstrap + replay_batches)
+    produces delta records for steady-state commits, and a cold reader
+    materializing from the chain returns the exact LWW-fold final state."""
+    import pandas as pd
+
+    from palimpzest_spark.cdc import feedgen
+    from palimpzest_spark.cdc.merge import bootstrap
+    from palimpzest_spark.cdc.oracle import fold
+    from palimpzest_spark.cdc.runner import replay_batches
+
+    d = str(tmp_path)
+    base = feedgen.gen_base_table(f"{d}/base", n_convs=50, max_turns=4, seed=9)
+    feedgen.gen_change_feed(
+        f"{d}/feed", n_events=1500, n_convs=50, max_turns=4, n_files=4, seed=9
+    )
+    t = SnapshotLakeTable(f"{d}/lake", n_buckets=4)
+    bootstrap(spark, t, base)
+    replay_batches(spark, t, f"{d}/feed", files_per_batch=1)
+    kinds = [
+        _raw(t, v).get("kind") for v in range(1, t.current_version() + 1)
+    ]
+    assert "delta" in kinds, "steady-state replay should write delta records"
+
+    cold = SnapshotLakeTable(f"{d}/lake")
+    got = (
+        cold.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    import glob
+
+    feed_df = pd.concat(
+        [pd.read_parquet(p) for p in sorted(glob.glob(f"{d}/feed/*.parquet"))],
+        ignore_index=True,
+    )
+    expected = (
+        fold(pd.read_parquet(f"{d}/base"), feed_df)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]],
+        expected[["conv_id", "turn_idx", "text"]],
+        check_dtype=False,
+    )
+
+
 def test_interval_zero_disables_deltas(tmp_path, monkeypatch):
     """The metabench 'full' arm contract: interval 0 → every commit full."""
     monkeypatch.setattr(lake_mod, "CHECKPOINT_INTERVAL", 0)

@@ -165,6 +165,47 @@ def test_point_lookup_tombstone_not_resurrected(spark, tmp_path):
     assert [(r["conv_id"], r["text"]) for r in live] == [(_conv(305), "n5")]
 
 
+def test_fold_skipped_when_scan_has_no_delta_files(spark, tmp_path):
+    """A point lookup whose scan keeps only base files (its bucket is
+    compacted / its deltas zone-map-pruned) must not pay the LWW-fold
+    shuffle, even while OTHER buckets of the table still carry deltas;
+    a lookup that does scan a delta file still folds."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "t"
+    d.mkdir()
+    base = feedgen.gen_base_table(str(d / "base"), n_convs=120, max_turns=2, seed=11)
+    t = SnapshotLakeTable(str(d / "lake"), n_buckets=2)
+    bootstrap(spark, t, base)
+    # find two base convs hashing to different buckets
+    ids = [_conv(i) for i in range(120)]
+    df = spark.createDataFrame([(c,) for c in ids], "conv_id string").select(
+        "conv_id", F.pmod(F.xxhash64("conv_id"), F.lit(2)).cast("int").alias("b")
+    )
+    by_bucket = {r["b"]: r["conv_id"] for r in df.collect()}
+    dirty, clean = by_bucket[0], by_bucket[1]
+    # one update batch touching ONLY the bucket-0 conv
+    feed = d / "feed"
+    feed.mkdir()
+    _write_feed(
+        str(feed / "feed-00000.parquet"),
+        [_ev("U", dirty, 0, "updated", 9_000_000, 900)],
+    )
+    replay_batches(spark, t, str(feed), files_per_batch=1)
+    snap = t.snapshot()
+    assert snap["deltas"].get("0") and not snap["deltas"].get("1")
+
+    def _plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    q_clean = t.read_conv(spark, [clean])
+    assert "max_by" not in _plan(q_clean), "delta-free lookup paid the fold"
+    assert q_clean.count() > 0
+    q_dirty = t.read_conv(spark, [dirty])
+    assert "max_by" in _plan(q_dirty), "delta-scanning lookup must fold"
+    assert [r["text"] for r in q_dirty.collect() if r["turn_idx"] == 0] == ["updated"]
+
+
 def test_sort_order_persists_and_alters(tmp_path):
     t = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=2, sort_order="key")
     t.commit(
