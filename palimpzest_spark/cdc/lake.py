@@ -307,6 +307,21 @@ class SnapshotLakeTable:
             os.fsync(f.fileno())
         os.rename(hint_tmp, self._hint_path())
 
+    def refresh_properties(self, snap: dict | None = None) -> None:
+        """Sync this process's table-property attributes (``n_buckets``,
+        ``sort_order``) from a snapshot. A long-lived writer object otherwise
+        keeps hashing bucket ids with a count another process's ``rebucket()``
+        has already evolved — its next merge would route keys to the wrong
+        buckets. Merge planning calls this with its planning snapshot, so a
+        re-plan after a rebucket conflict adopts the new universe."""
+        snap = snap if snap is not None else self.snapshot()
+        nb = int(snap.get("n_buckets") or 0)
+        if nb > 0:
+            self.n_buckets = nb
+        so = snap.get("sort_order")
+        if so in ("ts", "key"):
+            self.sort_order = so
+
     def _peek_n_buckets(self) -> int | None:
         """Persisted bucket count of the current snapshot, read directly from
         the manifest file (no snapshot cache — callable from __init__).
@@ -506,10 +521,24 @@ class SnapshotLakeTable:
             expect_version if expect_version is not None else self.current_version()
         ) + 1
         snap = dict(snap, version=new_v, committed_at=time.time())
-        # bucket count rides every manifest so readers can never hash point
-        # lookups with a different count than the files were written under
-        snap.setdefault("n_buckets", self.n_buckets)
-        snap.setdefault("sort_order", self.sort_order)
+        snap.setdefault("deltas", {})
+        snap.setdefault("filestats", {})
+        # Table properties (n_buckets / sort_order) ride every manifest so
+        # readers can never hash point lookups with a different count than
+        # the files were written under. They are inherited from the PREVIOUS
+        # snapshot, not this process's attributes: a long-lived writer whose
+        # object predates another process's rebucket()/alter_sort_order()
+        # must not revert the committed property (only those two methods set
+        # the keys explicitly). First commit falls back to the constructor.
+        if "n_buckets" not in snap or "sort_order" not in snap:
+            prev_props = self.snapshot(new_v - 1) if new_v > 1 else {}
+            snap.setdefault(
+                "n_buckets", prev_props.get("n_buckets") or self.n_buckets
+            )
+            so = prev_props.get("sort_order")
+            snap.setdefault(
+                "sort_order", so if so in ("ts", "key") else self.sort_order
+            )
         record, chain = self._encode_commit(new_v, snap)
         path = os.path.join(self.meta_dir, f"v{new_v}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -533,8 +562,6 @@ class SnapshotLakeTable:
             ) from None
         os.unlink(tmp)
         self._advance_hint(new_v)
-        snap.setdefault("deltas", {})
-        snap.setdefault("filestats", {})
         self._chain_len[new_v] = chain
         self._cache_snapshot(new_v, snap)
         return new_v
@@ -561,7 +588,9 @@ class SnapshotLakeTable:
         if int(prev.get("n_buckets") or 0) != int(snap.get("n_buckets") or 0):
             return snap, 0  # rebucket: every bucket changed, delta ≈ full
         pf, pd, pfs = prev["files"], prev["deltas"], prev["filestats"]
-        sf, sd, sfs = snap["files"], snap["deltas"], snap["filestats"]
+        sf = snap.get("files", {})
+        sd = snap.get("deltas", {})
+        sfs = snap.get("filestats", {})
         buckets: dict[str, dict] = {}
         inferred_drops: set[str] = set()
         for b in sf.keys() | sd.keys():
@@ -1350,6 +1379,12 @@ class SnapshotLakeTable:
                     "schema"
                 ):
                     raise  # schema moved under us: re-plan with the new schema
+                if int(cur.get("n_buckets") or 0) != int(plan.get("n_buckets") or 0):
+                    # a concurrent rebucket() evolved the bucket universe:
+                    # this merge's files were hashed with the OLD count, so
+                    # carrying them forward would route keys to the wrong
+                    # buckets — never rebasable, re-plan on the fresh snapshot
+                    raise
                 global REBASE_COUNT
                 REBASE_COUNT += 1
                 prev = cur  # rebase: re-derive the manifest merge and re-CAS

@@ -282,6 +282,10 @@ def _merge_once(
       REUSED for lineage — the batch is never scanned twice for metadata.
     """
     snap = table.snapshot()
+    # adopt the planning snapshot's bucket count / sort order: another
+    # process may have rebucketed since this table object was built, and
+    # every _bucket expression below hashes with table.n_buckets
+    table.refresh_properties(snap)
     prev = snap["summary"]
     public = _public_schema(table)
     if public is None:

@@ -144,32 +144,54 @@ def _run_arm(
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
         env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         procs: dict[str, subprocess.Popen] = {}
+        logs: dict[str, str] = {}
+        # child output goes to a FILE, not a PIPE: a Spark child can emit
+        # more than the ~64KB pipe buffer before the barrier (JVM/log4j
+        # noise during the warmup replay) and would deadlock on write while
+        # the parent waits for its ready file — a file sink cannot fill up
         for i, (w, feed) in enumerate(sorted(feeds.items())):
-            procs[w] = subprocess.Popen(
-                [sys.executable, "-u", "-c", _CHILD,
-                 str(cores_per_writer), str(i * cores_per_writer), feed,
-                 tables[w], template, w,
-                 os.path.join(work, f"ready_{w}"), go,
-                 str(n_buckets), str(fpb)],
-                env=env, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True,
-            )
+            logs[w] = os.path.join(work, f"log_{w}.txt")
+            with open(logs[w], "w") as logf:
+                procs[w] = subprocess.Popen(
+                    [sys.executable, "-u", "-c", _CHILD,
+                     str(cores_per_writer), str(i * cores_per_writer), feed,
+                     tables[w], template, w,
+                     os.path.join(work, f"ready_{w}"), go,
+                     str(n_buckets), str(fpb)],
+                    env=env, stdout=logf, stderr=subprocess.STDOUT, text=True,
+                )
+
+        def _tail(w: str) -> str:
+            try:
+                with open(logs[w]) as f:
+                    return f.read()[-4000:]
+            except OSError:
+                return "<no output>"
+
+        deadline = time.monotonic() + 900.0
         while not all(
             os.path.exists(os.path.join(work, f"ready_{w}")) for w in feeds
         ):
             time.sleep(0.05)
             for w, p in procs.items():
                 if p.poll() is not None:
-                    out = p.stdout.read() if p.stdout else ""
-                    raise RuntimeError(f"writer {w} died pre-barrier:\n{out[-4000:]}")
+                    raise RuntimeError(f"writer {w} died pre-barrier:\n{_tail(w)}")
+            if time.monotonic() > deadline:
+                for p in procs.values():
+                    p.kill()
+                raise RuntimeError(
+                    "writers never reached the start barrier within 900s:\n"
+                    + "\n".join(f"--- {w}:\n{_tail(w)}" for w in feeds)
+                )
         cores = max(len(os.sched_getaffinity(0)), 1)
         s0, w0 = _steal_jiffies(), time.monotonic()
         open(go, "w").close()
         res: dict[str, dict] = {}
         for w, p in procs.items():
-            out, _ = p.communicate(timeout=1800)
+            p.wait(timeout=1800)
+            out = _tail(w)
             if p.returncode != 0:
-                raise RuntimeError(f"writer {w} failed:\n{out[-4000:]}")
+                raise RuntimeError(f"writer {w} failed:\n{out}")
             res[w] = json.loads(
                 [ln for ln in out.splitlines() if ln.startswith("RESULT:")][-1][7:]
             )

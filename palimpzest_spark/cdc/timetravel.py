@@ -192,6 +192,13 @@ def expire_snapshots(
     manifests without ``committed_at``, ``grace_seconds`` is the fallback
     horizon (skip anything younger than it)."""
     cur = table.current_version()
+    if cur == 0:  # nothing committed yet: retention is a no-op, not an error
+        return {
+            "removed_files": 0,
+            "removed_snapshots": 0,
+            "skipped_in_grace": 0,
+            "retained_versions": [],
+        }
     keep = set(range(max(cur - max(keep_last, 1) + 1, 1), cur + 1))
     referenced: set[str] = set()
     oldest_retained_commit = None
