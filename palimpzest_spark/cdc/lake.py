@@ -133,6 +133,83 @@ COMPACT_MIN_RECORDS_PER_FILE = 10_000
 CHECKPOINT_INTERVAL = 20
 
 
+# XXH64 primes (public-domain xxHash spec; the same constants Spark's
+# catalyst XxHash64 expression uses)
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    return (_xxh_rotl((acc + inp * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """Driver-side XXH64, bit-identical to Spark's ``F.xxhash64`` on a
+    string column (UTF-8 bytes, default seed 42; signed-64 result like
+    Spark's LongType). Lets a point lookup compute its bucket ids without
+    launching a Spark job — hashing a handful of literal conversation ids
+    through ``createDataFrame(...).collect()`` cost ~1s of driver latency
+    per lookup, ~10x the pruned scan itself. Parity with the JVM expression
+    is pinned by ``tests/test_table_properties.py`` over random unicode
+    strings."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _U64
+        v2 = (seed + _XXH_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXH_P1) & _U64
+        while i <= n - 32:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        acc = (
+            _xxh_rotl(v1, 1) + _xxh_rotl(v2, 7)
+            + _xxh_rotl(v3, 12) + _xxh_rotl(v4, 18)
+        ) & _U64
+        for v in (v1, v2, v3, v4):
+            acc ^= _xxh_round(0, v)
+            acc = (acc * _XXH_P1 + _XXH_P4) & _U64
+    else:
+        acc = (seed + _XXH_P5) & _U64
+    acc = (acc + n) & _U64
+    while i + 8 <= n:
+        acc ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        acc = (_xxh_rotl(acc, 27) * _XXH_P1 + _XXH_P4) & _U64
+        i += 8
+    if i + 4 <= n:
+        acc ^= (int.from_bytes(data[i:i + 4], "little") * _XXH_P1) & _U64
+        acc = (_xxh_rotl(acc, 23) * _XXH_P2 + _XXH_P3) & _U64
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _XXH_P5) & _U64
+        acc = (_xxh_rotl(acc, 11) * _XXH_P1) & _U64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _XXH_P2) & _U64
+    acc ^= acc >> 29
+    acc = (acc * _XXH_P3) & _U64
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def bucket_of(conv_id: str, n_buckets: int) -> int:
+    """The bucket id the merge path assigns to ``conv_id`` — driver-side
+    twin of ``pmod(xxhash64(conv_id), n_buckets)`` (Python ``%`` on a
+    positive modulus matches Spark's ``pmod`` for signed longs)."""
+    return xxhash64(conv_id.encode("utf-8")) % n_buckets
+
+
 def lww_fold(df: DataFrame, key_cols: tuple[str, ...] = KEY_COLS) -> DataFrame:
     """Last-writer-wins reduce per key via ``max_by`` over the version struct
     ``(_ts, _event_seq)``. Deliberately an *aggregate*, not a window
@@ -743,19 +820,16 @@ class SnapshotLakeTable:
         ONLY their hash buckets' files (the Iceberg bucket-transform
         file-skipping path). At 10^10 rows a conversation fetch touches
         1/n_buckets of the table instead of all of it; the bucket ids come
-        from the same ``pmod(xxhash64(conv_id), n_buckets)`` expression the
-        merge path partitions by, computed on a literal frame (one tiny
-        job, no table scan)."""
+        from ``bucket_of`` — the driver-side twin of the merge path's
+        ``pmod(xxhash64(conv_id), n_buckets)`` partitioning expression —
+        so planning the lookup launches NO Spark job (hashing the literal
+        ids through a collect cost ~1s/lookup, ~10x the pruned scan)."""
         if not conv_ids:
             schema = self.schema(version) or T.StructType([])
             return spark.createDataFrame([], schema)
         snap = self.snapshot(version)
         nb = int(snap.get("n_buckets") or self.n_buckets)
-        ids = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
-        rows = ids.select(
-            F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("b")
-        ).distinct().collect()
-        buckets = sorted(r["b"] for r in rows)
+        buckets = sorted({bucket_of(c, nb) for c in conv_ids})
         paths, _skipped = self._conv_prune(snap, buckets, conv_ids)
         if not paths:
             schema = self.schema(version) or T.StructType([])

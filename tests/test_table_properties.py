@@ -77,6 +77,43 @@ def test_stale_writer_commit_does_not_revert_sort_order(tmp_path):
     assert fresh.snapshot().get("n_buckets") == 4
 
 
+def test_driver_xxhash64_matches_spark_expression(spark):
+    """read_conv's job-free bucket routing rests on this exact parity:
+    the pure-Python XXH64 must be bit-identical to Spark's F.xxhash64
+    (UTF-8 bytes, seed 42) across lengths spanning every tail branch of
+    the algorithm, including multi-byte unicode."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from palimpzest_spark.cdc.lake import bucket_of, xxhash64
+
+    random.seed(7)
+    alphabet = string.ascii_letters + string.digits + " .,;-_/äö漢字"
+    cases = ["", "a", "conv-00000001", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+             "v" * 33, "u" * 100, "héllo wörld 漢字"]
+    cases += ["".join(random.choices(alphabet, k=random.randint(0, 80)))
+              for _ in range(300)]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(c,) for c in set(cases)], "v string")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    for v, h in got.items():
+        assert xxhash64(v.encode("utf-8")) == h, repr(v)
+    # and the bucket twin agrees with the merge path's pmod
+    jvm = {
+        r["v"]: r["b"]
+        for r in spark.createDataFrame([(c,) for c in set(cases)], "v string")
+        .select("v", F.pmod(F.xxhash64("v"), F.lit(7)).cast("int").alias("b"))
+        .collect()
+    }
+    for v, b in jvm.items():
+        assert bucket_of(v, 7) == b, repr(v)
+
+
 def test_rebase_refuses_concurrent_rebucket(spark, tmp_path):
     """commit_merge planned on the old bucket universe must raise (re-plan)
     when a rebucket landed concurrently — its files were hashed mod the OLD
