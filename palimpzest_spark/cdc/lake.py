@@ -80,7 +80,11 @@ def _rebase_summary(ours: dict, theirs: dict) -> dict:
     including per-key in the txn watermark map, since ``ours`` carries the
     plan-time (possibly stale) view of OTHER writers' entries and must not
     regress an entry the competitor just advanced. Per-batch advisory
-    fields (batch_lineage/batch_events/fused_clean) stay ours."""
+    fields (batch_lineage/batch_events/fused_clean) stay ``ours`` — so a
+    MAINTENANCE rebase (whose ``summary`` is a validation-time copy of an
+    OLDER snapshot's, not a new batch's) must pass the competitor's summary
+    as ``ours`` or it would regress the advisory fields the next merge's
+    path planning reads (see ``commit_merge(maintenance=True)``)."""
     out = dict(ours)
     offsets = dict(theirs.get("offsets", {}))
     for p, off in ours.get("offsets", {}).items():
@@ -340,10 +344,17 @@ class SnapshotLakeTable:
         # persisted value wins over the constructor argument (which then only
         # seeds brand-new tables); it changes only via rebucket().
         if self.current_version() > 0:
-            persisted = self._peek_n_buckets()
+            # one manifest read serves both property peeks (a checkpoint
+            # manifest is filestats-heavy — parsing it twice per table open
+            # is pure duplicated driver time)
+            peeked = self._peek_meta_keys("n_buckets", "sort_order")
+            try:
+                persisted = int(peeked.get("n_buckets") or 0)
+            except ValueError:
+                persisted = 0
             if persisted:
                 self.n_buckets = persisted
-            ps = self._peek_meta_key("sort_order")
+            ps = peeked.get("sort_order")
             if ps in ("ts", "key"):
                 self.sort_order = ps
         # Snapshots are immutable once committed, so parsed manifests are
@@ -403,21 +414,22 @@ class SnapshotLakeTable:
         """Persisted bucket count of the current snapshot, read directly from
         the manifest file (no snapshot cache — callable from __init__).
         Tables written before n_buckets was persisted return None."""
-        nb = self._peek_meta_key("n_buckets")
+        nb = self._peek_meta_keys("n_buckets").get("n_buckets")
         try:
             return int(nb) if nb else None
         except ValueError:
             return None
 
-    def _peek_meta_key(self, key: str):
-        """A table-property key read directly off the current raw manifest
-        (full or delta record — both carry the property keys; no snapshot
-        cache, callable from __init__)."""
+    def _peek_meta_keys(self, *keys: str) -> dict:
+        """Table-property keys read directly off the current raw manifest in
+        ONE open+parse (full or delta record — both carry the property keys;
+        no snapshot cache, callable from __init__)."""
         try:
             with open(os.path.join(self.meta_dir, f"v{self.current_version()}.json")) as f:
-                return json.load(f).get(key)
+                m = json.load(f)
+            return {k: m.get(k) for k in keys}
         except (FileNotFoundError, ValueError):
-            return None
+            return {}
 
     def current_version(self) -> int:
         """Latest committed snapshot version.
@@ -757,6 +769,15 @@ class SnapshotLakeTable:
         s = self.snapshot(version).get("schema")
         return T.StructType.fromJson(s) if s else None
 
+    def _empty_public(self, spark: SparkSession, version: int | None) -> DataFrame:
+        """Empty result frame in the PUBLIC projection (meta columns
+        dropped) — the schema every non-empty read path returns. The
+        empty/fully-pruned branches must match it exactly or an absent-key
+        lookup breaks unionByName/fixed-schema sinks downstream."""
+        schema = self.schema(version) or T.StructType([])
+        pub = T.StructType([f for f in schema.fields if f.name not in META_COLS])
+        return spark.createDataFrame([], pub)
+
     def read_raw(
         self,
         spark: SparkSession,
@@ -801,8 +822,9 @@ class SnapshotLakeTable:
         exist (merge-on-read)."""
         df = self.read_raw(spark, version=version)
         if df is None:
-            schema = self.schema(version) or T.StructType([])
-            return spark.createDataFrame([], schema)
+            if include_meta:
+                return spark.createDataFrame([], self.schema(version) or T.StructType([]))
+            return self._empty_public(spark, version)
         if self.has_deltas(version):
             df = lww_fold(df)
         if include_meta:
@@ -825,15 +847,13 @@ class SnapshotLakeTable:
         so planning the lookup launches NO Spark job (hashing the literal
         ids through a collect cost ~1s/lookup, ~10x the pruned scan)."""
         if not conv_ids:
-            schema = self.schema(version) or T.StructType([])
-            return spark.createDataFrame([], schema)
+            return self._empty_public(spark, version)
         snap = self.snapshot(version)
         nb = int(snap.get("n_buckets") or self.n_buckets)
         buckets = sorted({bucket_of(c, nb) for c in conv_ids})
         paths, _skipped = self._conv_prune(snap, buckets, conv_ids)
         if not paths:
-            schema = self.schema(version) or T.StructType([])
-            return spark.createDataFrame([], schema)
+            return self._empty_public(spark, version)
         df = spark.read.schema(self.schema(version)).parquet(
             *[os.path.join(self.root, p) for p in paths]
         )
@@ -940,7 +960,7 @@ class SnapshotLakeTable:
                 paths.append(rel)
         schema = self.schema(version)
         if not paths or schema is None:
-            return spark.createDataFrame([], schema or T.StructType([]))
+            return self._empty_public(spark, version)
         df = spark.read.schema(schema).parquet(
             *[os.path.join(self.root, p) for p in paths]
         )
@@ -1304,6 +1324,7 @@ class SnapshotLakeTable:
                 return self.commit_merge(
                     buckets, new_files, {}, stats, cur["schema"], cur["summary"],
                     base_snapshot=dict(planned, schema=cur["schema"]),
+                    maintenance=True,
                 )
             except CommitConflictError:
                 continue
@@ -1385,6 +1406,7 @@ class SnapshotLakeTable:
         summary: dict,
         base_snapshot: dict | None = None,
         rebase_attempts: int = 20,
+        maintenance: bool = False,
     ) -> int:
         """One atomic commit for a mixed merge: ``cow_buckets`` get their base
         replaced and deltas cleared (they were folded into the new base);
@@ -1440,7 +1462,16 @@ class SnapshotLakeTable:
             fs.update(filestats)
             merged_summary = summary
             if prev is not plan:
-                merged_summary = _rebase_summary(summary, prev["summary"])
+                # A merge commit's advisory per-batch fields describe ITS
+                # batch — keep ours. A maintenance rewrite's summary is a
+                # validation-time COPY of an older snapshot's, so the
+                # competitor's (current) summary must win the advisory
+                # fields or the published snapshot regresses batch_events/
+                # batch_lineage and the next merge plans off stale estimates.
+                if maintenance:
+                    merged_summary = _rebase_summary(prev["summary"], summary)
+                else:
+                    merged_summary = _rebase_summary(summary, prev["summary"])
             try:
                 return self.commit(
                     {"files": files, "deltas": deltas, "filestats": fs,

@@ -189,12 +189,16 @@ def _run_arm(
         res: dict[str, dict] = {}
         for w, p in procs.items():
             p.wait(timeout=1800)
-            out = _tail(w)
             if p.returncode != 0:
-                raise RuntimeError(f"writer {w} failed:\n{out}")
-            res[w] = json.loads(
-                [ln for ln in out.splitlines() if ln.startswith("RESULT:")][-1][7:]
-            )
+                raise RuntimeError(f"writer {w} failed:\n{_tail(w)}")
+            # scan the WHOLE log for the RESULT line — a noisy JVM/py4j
+            # shutdown after it can easily exceed any fixed tail window,
+            # and losing the line wastes a multi-minute two-JVM round
+            with open(logs[w]) as f:
+                lines = [ln for ln in f if ln.startswith("RESULT:")]
+            if not lines:
+                raise RuntimeError(f"writer {w} exited 0 without a RESULT line:\n{_tail(w)}")
+            res[w] = json.loads(lines[-1][7:])
         wall = time.monotonic() - w0
         steal = (_steal_jiffies() - s0) / max(wall * 100.0 * cores, 1e-9)
         span = max(r["t1"] for r in res.values()) - min(r["t0"] for r in res.values())

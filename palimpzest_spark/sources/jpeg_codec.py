@@ -680,10 +680,16 @@ def _prep_planes(img: np.ndarray, subsample: bool):
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         if subsample:
             def down(p):
-                ph = p[: (p.shape[0] // 2) * 2, : (p.shape[1] // 2) * 2]
-                if ph.size == 0:
-                    ph = p[:1, :1]
-                return (ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+                # edge-replicate odd dims to even BEFORE averaging: the
+                # chroma plane must have ceil(h/2) x ceil(w/2) samples (the
+                # SOF component dims the decoder derives), and the old
+                # truncate-then-slice form produced an EMPTY plane (crash in
+                # the MCU pad) whenever h < 2 or w < 2
+                if p.shape[0] % 2:
+                    p = np.concatenate([p, p[-1:, :]], axis=0)
+                if p.shape[1] % 2:
+                    p = np.concatenate([p, p[:, -1:]], axis=1)
+                return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
             planes = [y, down(cb), down(cr)]
             hv = [(2, 2), (1, 1), (1, 1)]
         else:

@@ -206,6 +206,26 @@ def test_fold_skipped_when_scan_has_no_delta_files(spark, tmp_path):
     assert [r["text"] for r in q_dirty.collect() if r["turn_idx"] == 0] == ["updated"]
 
 
+def test_fully_pruned_lookup_returns_public_schema(spark, one_bucket_table):
+    """An absent-key lookup whose files are ALL zone-map-pruned (and the
+    empty-ids / empty-range branches) must return the same PUBLIC schema as
+    every non-empty read — not the stored schema with engine meta columns —
+    or downstream unionByName/fixed-schema sinks break exactly and only
+    when pruning removes every file."""
+    t = one_bucket_table
+    present = t.read_conv(spark, [_conv(205)])
+    assert present.count() == 1
+    # "zzz..." sorts above every cv_max in the table → every file pruned
+    absent = t.read_conv(spark, ["zzz-absent"])
+    assert absent.columns == present.columns
+    assert absent.count() == 0
+    assert present.unionByName(absent).count() == 1  # must not raise
+    assert t.read_conv(spark, []).columns == present.columns
+    # empty ts-range branch: far future, no file overlaps
+    rng = t.read_ts_range(spark, 10**15, 10**15 + 1)
+    assert rng.columns == present.columns and rng.count() == 0
+
+
 def test_sort_order_persists_and_alters(tmp_path):
     t = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=2, sort_order="key")
     t.commit(

@@ -171,3 +171,53 @@ def test_stale_writer_merge_adopts_rebucketed_universe(spark, tmp_path):
     convs = sorted({r["conv_id"] for r in full})
     via_lookup = fresh.read_conv(spark, convs).orderBy("conv_id", "turn_idx").collect()
     assert [tuple(r) for r in via_lookup] == [tuple(r) for r in full]
+
+
+def test_maintenance_rebase_keeps_competitor_advisory_summary(tmp_path):
+    """A maintenance rewrite that loses the CAS to a concurrent merge and
+    rebases must publish the MERGE's advisory summary fields (batch_events/
+    batch_lineage — the next merge plans its path off them), not its own
+    validation-time copy of an older snapshot's; monotone exactly-once
+    fields still take the max of both."""
+    t = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=2)
+    t.commit(
+        {"files": {}, "deltas": {}, "filestats": {}, "schema": None,
+         "summary": {"last_batch_id": 0, "offsets": {"0": 5},
+                     "batch_events": 7, "fused_clean": False}}
+    )
+    planned = t.snapshot()  # maintenance validates here (v1)
+    # a concurrent merge lands v2 with newer advisory fields
+    t.commit(
+        {"files": {}, "deltas": {}, "filestats": {}, "schema": None,
+         "summary": {"last_batch_id": 1, "offsets": {"0": 9, "1": 3},
+                     "batch_events": 42, "fused_clean": True}}
+    )
+    # the maintenance commit rebases (expected v2 is taken) and lands v3
+    v = t.commit_merge(
+        [], {}, {}, {}, planned.get("schema"), dict(planned["summary"]),
+        base_snapshot=planned, maintenance=True,
+    )
+    s = t.snapshot(v)["summary"]
+    assert s["batch_events"] == 42 and s["fused_clean"] is True
+    assert s["last_batch_id"] == 1
+    assert s["offsets"] == {"0": 9, "1": 3}
+
+
+def test_jpeg_subsampled_encode_one_pixel_tall_and_wide():
+    """4:2:0 encode of degenerate geometries (h<2 or w<2) must not crash:
+    the chroma downsample edge-replicates odd dims to even, so the plane is
+    ceil(h/2) x ceil(w/2) — the SOF component dims the decoder derives."""
+    import numpy as np
+
+    from palimpzest_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for shape in ((1, 2, 3), (2, 1, 3), (1, 1, 3), (3, 5, 3)):
+        img = (np.arange(np.prod(shape)) % 256).astype(np.uint8).reshape(shape)
+        for enc in (encode_jpeg, encode_jpeg_progressive):
+            w, h, c, out = decode_jpeg(enc(img, subsample=True))
+            assert (w, h, c) == (shape[1], shape[0], 3)
+            assert out.shape == (shape[0], shape[1], 3)
