@@ -137,8 +137,17 @@ def _anomaly_expr(table_public: T.StructType):
         v = F.col("_m").getItem(name)
         # try_cast, NOT cast: under Spark 4's default ANSI mode a plain cast
         # on a drifted value throws CAST_INVALID_INPUT and poison-pills the
-        # batch; try_cast yields NULL = the anomaly signal.
-        bads.append(v.isNotNull() & v.try_cast(dt).isNull())
+        # batch; try_cast yields NULL = the anomaly signal. Complex types
+        # (a producer emitting real nested JSON evolves the schema to
+        # array/struct) cannot be cast from string AT ALL — that's an
+        # analysis-time error, not a NULL — so they re-parse the field's
+        # raw JSON text with from_json instead. Kept in lockstep with
+        # reconcile.schema_fits_probe (test_probe_agrees_with_anomaly_expr).
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            parsed = F.from_json(v, dt)
+        else:
+            parsed = v.try_cast(dt)
+        bads.append(v.isNotNull() & parsed.isNull())
     from functools import reduce
 
     return (F.col("payload").isNotNull() & reduce(lambda a, b: a | b, bads)).cast("long")

@@ -72,8 +72,16 @@ def _infer_ndjson(payloads) -> T.StructType | None:
     buf = io.BytesIO(("\n".join(vals)).encode("utf-8"))
     # use_threads=False: a Spark task owns ONE core; letting Arrow's internal
     # pool fan out would oversubscribe the executor (and silently borrow
-    # cores that don't belong to this task's scheduling slot)
-    tbl = pa_json.read_json(buf, read_options=pa_json.ReadOptions(use_threads=False))
+    # cores that don't belong to this task's scheduling slot).
+    # newlines_in_values=True: payloads are joined with '\n' into an NDJSON
+    # buffer, but a single payload may itself be pretty-printed (contain
+    # newlines) — the JVM decode path (from_json) accepts those, so
+    # inference must too, not crash with a straddling-object error.
+    tbl = pa_json.read_json(
+        buf,
+        read_options=pa_json.ReadOptions(use_threads=False),
+        parse_options=pa_json.ParseOptions(newlines_in_values=True),
+    )
     return arrow_schema_to_struct(tbl.schema)
 
 
@@ -163,23 +171,41 @@ def schema_fits_probe(
     fails the probe and the batch pays the exact inference — so evolution
     batches are handled identically, just not for free. Detection is exact,
     not sampled: a single anomalous row in 10^8 fails the probe.
+
+    Kept semantically in lockstep with ``merge._anomaly_expr`` (the live
+    merge path's row-level twin of this batch-level predicate):
+    malformed/non-object payloads fail, complex-typed fields are checked
+    with ``from_json`` (a string cannot be cast to array/struct) — pinned
+    by ``tests/test_cdc.py::test_probe_agrees_with_anomaly_expr``.
     """
     if table_public is None:
         return False
     known = {f.name: f.dataType for f in table_public.fields}
     nonnull = batch.filter(F.col(payload_col).isNotNull())
     known_arr = F.array(*[F.lit(k) for k in sorted(known)])
-    unknown_keys = F.size(
-        F.array_except(F.json_object_keys(F.col(payload_col)), known_arr)
-    )
-    checks = [F.sum((unknown_keys > 0).cast("long")).alias("_newcols")]
+    obj_keys = F.json_object_keys(F.col(payload_col))
+    unknown_keys = F.size(F.array_except(obj_keys, known_arr))
+    checks = [
+        # json_object_keys is NULL for malformed or non-object payloads —
+        # those rows do NOT fit (the known-schema decode would silently
+        # null them out); without this check array_except(NULL, …) is NULL
+        # and the probe would wave them through
+        F.sum(obj_keys.isNull().cast("long")).alias("_malformed"),
+        F.sum((unknown_keys > 0).cast("long")).alias("_newcols"),
+    ]
     for name, dt in known.items():
         if isinstance(dt, (T.StringType, T.NullType)):
             continue
         raw = F.get_json_object(F.col(payload_col), f"$.{name}")
-        bad = raw.isNotNull() & F.expr(
-            f"try_cast(get_json_object({payload_col}, '$.{name}') AS {dt.simpleString()})"
-        ).isNull()
+        # Column-API try_cast (no SQL-string interpolation — field names
+        # with quotes/backticks must not break the expression); complex
+        # types can't be cast from string at all, so they re-parse the
+        # field's raw JSON text with from_json (NULL = doesn't fit)
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            parsed = F.from_json(raw, dt)
+        else:
+            parsed = raw.try_cast(dt)
+        bad = raw.isNotNull() & parsed.isNull()
         checks.append(F.sum(bad.cast("long")).alias(f"_bad_{name}"))
     row = nonnull.agg(*checks).collect()[0]
     return all((v or 0) == 0 for v in row)

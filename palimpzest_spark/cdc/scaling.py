@@ -238,7 +238,12 @@ def machine_ceiling(n: int, seconds: float = 8.0) -> dict:
     from multiprocessing import Process, Queue
 
     def worker(cpu: int, q, dur: float) -> None:
-        os.sched_setaffinity(0, {cpu})
+        try:
+            # a nonexistent CPU id must not kill the worker before q.put —
+            # the parent's q.get would then block forever; run unpinned
+            os.sched_setaffinity(0, {cpu})
+        except OSError:
+            pass
         buf = b"x" * 65536
         count = 0
         import time as _t
@@ -255,20 +260,31 @@ def machine_ceiling(n: int, seconds: float = 8.0) -> dict:
         ps = [Process(target=worker, args=(c, q, seconds)) for c in cpus]
         for p in ps:
             p.start()
-        total = sum(q.get() for _ in ps)
+        # bounded wait: a worker that dies anyway (OOM-kill etc.) must not
+        # hang the whole bench on an untimed Queue.get
+        total = sum(q.get(timeout=seconds * 5 + 30) for _ in ps)
         for p in ps:
             p.join()
         return total / seconds
 
     total_cores = os.cpu_count() or 32
-    r_n = run(range(0, n))
-    r_4n = run(range(max(total_cores - 4 * n, 0), max(total_cores - 4 * n, 0) + 4 * n))
-    return {
+    n_cpus = list(range(0, n))
+    big_lo = max(total_cores - 4 * n, 0)
+    big_cpus = [c % total_cores for c in range(big_lo, big_lo + 4 * n)]
+    overlap = sorted(set(n_cpus) & set(big_cpus))
+    r_n = run(n_cpus)
+    r_4n = run(big_cpus)
+    out = {
         "hashes_per_sec_N": round(r_n),
         "hashes_per_sec_4N": round(r_4n),
         "ceiling_speedup": round(r_4n / r_n, 2),
         "ceiling_efficiency": round((r_4n / r_n) / 4, 3),
     }
+    if overlap:
+        # < 5N cores: the two pin sets cannot be disjoint — the probe is
+        # still a valid per-level ceiling but not an interleaving control
+        out["core_overlap"] = overlap
+    return out
 
 
 def run_interleaved(n: int, n_events: int, n_convs: int, trials: int,

@@ -71,16 +71,15 @@ def _state_at(
     """LWW-folded state of the given buckets at ``version``, tombstones
     INCLUDED (a delete is a change), aligned to ``schema`` (the newer
     snapshot's — columns added by later evolution read as typed nulls)."""
+    from palimpzest_spark.cdc.reconcile import align_to
+
     raw = table.read_raw(spark, buckets, version=version)
     if raw is None:
         return None
-    folded = lww_fold(raw)
-    out_cols = [
-        F.col(f.name) if f.name in folded.columns
-        else F.lit(None).cast(f.dataType).alias(f.name)
-        for f in schema.fields
-    ]
-    return folded.select(*out_cols)
+    # align_to casts PRESENT columns too (not just null-fills missing ones):
+    # a type widened between the snapshots (turn_idx int->long) must read
+    # back as the newer snapshot's type or downstream unions/sinks mismatch
+    return align_to(lww_fold(raw), schema)
 
 
 def table_changes(
@@ -199,7 +198,14 @@ def expire_snapshots(
             "skipped_in_grace": 0,
             "retained_versions": [],
         }
-    keep = set(range(max(cur - max(keep_last, 1) + 1, 1), cur + 1))
+    # versions inside the retention window whose manifests a PREVIOUS expire
+    # already deleted (keep_last was raised since) are simply not retainable
+    # — loading them would raise and abort the whole expiry
+    keep = {
+        v
+        for v in range(max(cur - max(keep_last, 1) + 1, 1), cur + 1)
+        if os.path.exists(os.path.join(table.meta_dir, f"v{v}.json"))
+    }
     referenced: set[str] = set()
     oldest_retained_commit = None
     for v in keep:
@@ -225,13 +231,22 @@ def expire_snapshots(
             ap = os.path.join(dirpath, fn)
             rel = os.path.relpath(ap, table.root)
             if fn.endswith(".parquet") and rel not in referenced:
-                if os.path.getmtime(ap) >= horizon:
-                    skipped_in_grace += 1
+                # a concurrent writer's abort_files can remove a staged file
+                # between the walk and the stat/unlink — that's the desired
+                # end state, not an error; skip and keep expiring
+                try:
+                    if os.path.getmtime(ap) >= horizon:
+                        skipped_in_grace += 1
+                        continue
+                    os.unlink(ap)
+                except FileNotFoundError:
                     continue
-                os.unlink(ap)
                 removed_files += 1
-        if not os.listdir(dirpath):
-            os.rmdir(dirpath)
+        try:
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        except OSError:
+            pass  # a writer dropped a file in (ENOTEMPTY) or removed the dir
 
     # Manifests are log-structured (lake.py): a retained version may be a
     # delta record whose chain bottoms out in a manifest about to be

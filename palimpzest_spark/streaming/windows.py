@@ -133,7 +133,15 @@ def running_max_by_key(
     needs cross-batch state (the PZ join's retain-inputs buffer, a streaming
     dedup, a monotonic-version tracker). Batches arrive as Arrow pandas
     frames, so the per-key update is vectorized within each group.
+
+    The output schema is derived from the INPUT's key column (name + type)
+    — ``_RUNMAX_OUT`` is just the default-parameter shape; null values are
+    skipped (``n_seen`` still advances) rather than crashing ``idxmax``.
     """
+    out_schema = T.StructType(
+        [T.StructField(key_col, events.schema[key_col].dataType)]
+        + list(_RUNMAX_OUT.fields[1:])
+    )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -144,14 +152,17 @@ def running_max_by_key(
             best_value, best_seq, n_seen = float("-inf"), -1, 0
         for pdf in pdfs:
             n_seen += len(pdf)
-            i = pdf[value_col].idxmax()
-            if pdf[value_col][i] > best_value:
-                best_value = float(pdf[value_col][i])
-                best_seq = int(pdf[seq_col][i])
+            vals = pdf[value_col].dropna()
+            if not len(vals):
+                continue  # all-null microbatch for this key: nothing to rank
+            i = vals.idxmax()
+            if vals.loc[i] > best_value:
+                best_value = float(vals.loc[i])
+                best_seq = int(pdf[seq_col].loc[i])
         state.update((best_value, best_seq, n_seen))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_col: [key[0]],
                 "best_value": [best_value],
                 "best_seq": [best_seq],
                 "n_seen": [n_seen],
@@ -162,7 +173,7 @@ def running_max_by_key(
         events.groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType=_RUNMAX_OUT,
+            outputStructType=out_schema,
             stateStructType=_RUNMAX_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

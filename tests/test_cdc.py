@@ -1291,3 +1291,63 @@ def test_two_streaming_shards_share_table(spark, tmp_path):
         pd.read_parquet(base), pd.concat([feed_a, feed_b], ignore_index=True)
     )
     _assert_state_equal(_actual(spark, table), expected)
+
+
+def test_probe_agrees_with_anomaly_expr(spark):
+    """schema_fits_probe (batch-level steady-path gate) and merge's
+    _anomaly_expr (row-level anomaly counter) are two implementations of
+    the same predicate and must agree — including on malformed / non-object
+    payloads (json_object_keys is NULL there) and on COMPLEX-typed table
+    fields (a string cannot be cast to array/struct; both sides must
+    re-parse with from_json instead of raising at analysis time)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from palimpzest_spark.cdc.merge import _anomaly_expr
+    from palimpzest_spark.cdc.reconcile import schema_fits_probe
+
+    public = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField(
+                "tool_args",
+                T.StructType([T.StructField("x", T.ArrayType(T.LongType()))]),
+            ),
+        ]
+    )
+    cases = [
+        ('{"conv_id": "c1", "turn_idx": 3}', True),
+        ('{"conv_id": "c1", "turn_idx": 3, "tool_args": {"x": [1, 2]}}', True),
+        ("not json", False),          # malformed: both sides must flag it
+        ("[1, 2]", False),            # non-object payload
+        ('{"conv_id": "c1", "turn_idx": "zz"}', False),   # type drift
+        ('{"conv_id": "c1", "extra": 1}', False),          # unknown key
+        (None, True),                 # payload-less event (delete): fits
+    ]
+    for payload, fits in cases:
+        b = spark.createDataFrame([(payload,)], "payload string")
+        assert schema_fits_probe(b, public) is fits, payload
+        n_anom = (
+            b.withColumn("_m", F.from_json("payload", "map<string,string>"))
+            .agg(F.sum(_anomaly_expr(public)).alias("n"))
+            .collect()[0]["n"]
+        )
+        assert ((n_anom or 0) == 0) is fits, payload
+
+
+def test_infer_payload_schema_accepts_pretty_printed_json(spark):
+    """A producer may emit pretty-printed payloads (embedded newlines); the
+    Arrow inference path must parse them like the JVM decode path does, not
+    crash on the NDJSON straddling-object rule."""
+    from pyspark.sql import types as T
+
+    from palimpzest_spark.cdc.reconcile import infer_payload_schema
+
+    pretty = '{\n  "conv_id": "c1",\n  "turn_idx": 1\n}'
+    b = spark.createDataFrame(
+        [(pretty,), ('{"conv_id": "c2", "turn_idx": 2}',)], "payload string"
+    )
+    s = infer_payload_schema(b)
+    assert s is not None and set(s.fieldNames()) == {"conv_id", "turn_idx"}
+    assert isinstance(s["turn_idx"].dataType, T.LongType)

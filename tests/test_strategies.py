@@ -609,3 +609,50 @@ def test_sem_topk_attach_k_order_determinism(spark):
         assert [e["rank"] for e in lst] == list(range(1, len(lst) + 1))
         sims = [e["similarity"] for e in lst]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_running_max_string_key_and_null_values(spark, tmp_path):
+    """running_max_by_key must honor its key_col parameter (name AND type in
+    the output schema — it was hardcoded to a long 'user_id') and skip null
+    values instead of crashing idxmax, while n_seen still counts them."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palimpzest_spark.streaming import windows as W
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = {
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "conv_id": pa.array(["a", "a", "b", "b", "b"]),
+        "value": pa.array([1.0, None, None, 7.0, 3.0], pa.float64()),
+    }
+    pq.write_table(pa.table(rows), str(d / "part-0.parquet"))
+    # second microbatch: key 'a' sees ONLY a null value (must not crash)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([6, 7], pa.int64()),
+                "conv_id": pa.array(["a", "b"]),
+                "value": pa.array([None, 9.0], pa.float64()),
+            }
+        ),
+        str(d / "part-1.parquet"),
+    )
+    schema = spark.read.parquet(str(d)).schema
+    stream = W.stream_from_directory(spark, str(d), schema, max_files_per_trigger=1)
+    rm = W.running_max_by_key(stream, key_col="conv_id", value_col="value", seq_col="event_id")
+    W.run_to_memory_sink(rm, "runmax_str_test", output_mode="update")
+    got = (
+        spark.sql(
+            "select conv_id, max(best_value) bv, max(best_seq) bs, max(n_seen) ns "
+            "from runmax_str_test group by conv_id"
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert got.loc["a", "bv"] == 1.0 and got.loc["a", "bs"] == 1
+    assert got.loc["a", "ns"] == 3  # nulls counted as seen, not ranked
+    assert got.loc["b", "bv"] == 9.0 and got.loc["b", "bs"] == 7
+    assert got.loc["b", "ns"] == 4

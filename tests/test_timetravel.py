@@ -311,3 +311,30 @@ def test_export_snapshot_survives_source_expiry(spark, tmp_path):
     assert clone.current_version() == 1
     got = sorted(map(tuple, clone.read(spark).collect()))
     assert got == want and len(got) > 0
+
+
+def test_expire_survives_widened_retention_window(tmp_path):
+    """Raising keep_last after a previous expire must not crash: versions
+    inside the new window whose manifests the earlier run already deleted
+    are simply not retainable (they cannot be resurrected) — the expiry
+    keeps only what still exists instead of aborting on the first load."""
+    from palimpzest_spark.cdc.lake import SnapshotLakeTable
+
+    t = SnapshotLakeTable(str(tmp_path / "lake"), n_buckets=2)
+    for i in range(8):
+        t.commit(
+            {"files": {}, "deltas": {}, "filestats": {}, "schema": None,
+             "summary": {"last_batch_id": i, "offsets": {}}}
+        )
+    first = expire_snapshots(t, keep_last=2, grace_seconds=0.0)
+    assert first["retained_versions"] == [7, 8]
+    # two more commits, then a WIDER window reaching into expired versions
+    for i in (8, 9):
+        t.commit(
+            {"files": {}, "deltas": {}, "filestats": {}, "schema": None,
+             "summary": {"last_batch_id": i, "offsets": {}}}
+        )
+    res = expire_snapshots(t, keep_last=6, grace_seconds=0.0)
+    # v5/v6 are gone for good; everything still on disk in-window is kept
+    assert res["retained_versions"] == [7, 8, 9, 10]
+    assert t.snapshot(7)["version"] == 7  # oldest retained still readable
