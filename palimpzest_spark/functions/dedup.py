@@ -459,6 +459,18 @@ def minhash_lsh_pairs(
     → distinct pairs → verify. Shuffles carry ids + 8B hashes, never text.
     """
     rows = num_perm // bands
+    if rows == 0:
+        raise ValueError(
+            f"bands ({bands}) > num_perm ({num_perm}): every band slice "
+            f"would be empty, every document would share every bucket, and "
+            f"the candidate self-join degenerates to an O(n^2) cross product"
+        )
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must divide evenly into bands ({bands}) "
+            f"— the trailing {num_perm % bands} permutations would be "
+            f"silently ignored by the banding"
+        )
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_n, seed, token_hash
     ).persist()

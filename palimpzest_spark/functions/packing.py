@@ -63,6 +63,11 @@ def pack_sequences(
     cap = int(budget)
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL token counts arrive as NaN (nullable long -> float64 through
+        # Arrow); int(nan) would kill the task with an opaque error. The
+        # packer never drops rows, so a null count packs as 0 tokens.
+        pdf = pdf.copy()
+        pdf[token_col] = pdf[token_col].fillna(0)
         pdf = pdf.sort_values(
             [token_col, id_col], ascending=[False, True], kind="mergesort"
         )

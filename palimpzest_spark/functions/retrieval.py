@@ -139,10 +139,39 @@ def write_token_index(
     )
     postings.write.mode("overwrite").partitionBy("_tb").parquet(path)
     import json
-    import os
 
-    with open(os.path.join(path, "_index_meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+    # the meta sidecar goes through the SAME Hadoop filesystem as the
+    # parquet write — a local open() next to an s3://... or hdfs://... index
+    # would fail on the driver and make the index unusable off-box
+    _hadoop_write_text(
+        corpus.sparkSession, path + "/_index_meta.json",
+        json.dumps({"n_buckets": n_buckets}),
+    )
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        # IOUtils drains the stream fully (read() alone returns one byte)
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def token_index_lookup(
@@ -158,16 +187,20 @@ def token_index_lookup(
     predicate over the partition column, so only the probed term buckets'
     files are read (assert-tested via inputFiles)."""
     import json
-    import os
+
+    # driver-side XXH64 (bit-identical to F.xxhash64 on strings — parity
+    # pinned in tests/test_table_properties.py): hashing a handful of term
+    # literals through createDataFrame().collect() cost ~1s of driver
+    # latency per lookup, ~10x the pruned scan itself (same fix as the CDC
+    # point-lookup path, cdc/lake.py::bucket_of)
+    from palimpzest_spark.cdc.lake import bucket_of
 
     lows = sorted({t.lower() for t in terms})
     idx = spark.read.parquet(path)
-    with open(os.path.join(path, "_index_meta.json")) as f:
-        n_buckets = json.load(f)["n_buckets"]
-    probe = spark.createDataFrame([(t,) for t in lows], "tok string").select(
-        F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int").alias("b")
-    )
-    buckets = sorted({r["b"] for r in probe.collect()})
+    n_buckets = json.loads(_hadoop_read_text(spark, path + "/_index_meta.json"))[
+        "n_buckets"
+    ]
+    buckets = sorted({bucket_of(t, n_buckets) for t in lows})
     hits = idx.filter(F.col("_tb").isin(buckets)).filter(F.col("tok").isin(lows))
     if mode == "any":
         return hits.select("id").distinct()

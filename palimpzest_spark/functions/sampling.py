@@ -28,9 +28,16 @@ _SPACE = 16**_HEX_DIGITS
 
 
 def hash_threshold(fraction: float) -> str:
-    """Lowercase-hex keep-threshold for a Bernoulli fraction."""
+    """Lowercase-hex keep-threshold for a Bernoulli fraction, compared with
+    strict ``<`` against the 8-hex-digit bucket. ``fraction=1.0`` returns
+    ``"g"`` — lexicographically above every hex bucket — so a 100% sample
+    really keeps 100%: clamping to ``"ffffffff"`` silently dropped rows
+    whose bucket equals the max (P=2^-32 per row, ~230 rows lost per
+    trillion at the advertised scale)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * _SPACE), _SPACE - 1), f"0{_HEX_DIGITS}x")
 
 

@@ -85,6 +85,24 @@ def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> Column:
     return bucket
 
 
+def probe_buckets(qbucket: int, bits: int, hamming: int) -> set[int]:
+    """All bucket ids within ``hamming`` bit flips of the query's bucket —
+    the multiprobe recall knob, honored for ANY distance (the previous
+    hand-unrolled distance-1/-2 sets silently capped a requested hamming=3
+    at 2, so turning recall up did nothing). Probe count is
+    sum_{d<=hamming} C(bits, d); callers keep it small."""
+    from itertools import combinations
+
+    probes = {qbucket}
+    for d in range(1, min(max(hamming, 0), bits) + 1):
+        for flips in combinations(range(bits), d):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            probes.add(qbucket ^ m)
+    return probes
+
+
 def lsh_top_k(
     corpus: DataFrame,
     query: list[float],
@@ -105,15 +123,7 @@ def lsh_top_k(
     planes = hyperplanes(dim, bits, seed)
     qsigns = (planes @ np.asarray(query)) > 0
     qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
-    probes = {qbucket}
-    if multiprobe_hamming >= 1:
-        probes |= {qbucket ^ (1 << i) for i in range(bits)}
-    if multiprobe_hamming >= 2:
-        probes |= {
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        }
+    probes = probe_buckets(qbucket, bits, multiprobe_hamming)
     bucketed = corpus.withColumn("_bkt", lsh_bucket_col(vec_col, planes))
     cand = bucketed.filter(F.col("_bkt").isin(sorted(probes)))
     return (
@@ -163,15 +173,7 @@ def lsh_top_k_indexed(
     planes = hyperplanes(len(query), bits, seed)
     qsigns = (planes @ np.asarray(query)) > 0
     qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
-    probes = {qbucket}
-    if multiprobe_hamming >= 1:
-        probes |= {qbucket ^ (1 << i) for i in range(bits)}
-    if multiprobe_hamming >= 2:
-        probes |= {
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        }
+    probes = probe_buckets(qbucket, bits, multiprobe_hamming)
     cand = spark.read.parquet(path).filter(F.col("_bkt").isin(sorted(probes)))
     return (
         cand.withColumn("similarity", cosine_similarity_col(vec_col, query))

@@ -87,13 +87,18 @@ QUALITY_PARTS = {
         "cast(__LEN__(regexp_extract_all(lower(__COL__), __RX_STOPWORD__)) as double)"
         " / __LEN__(__SPLIT__(trim(__COL__), ' '))"
     ),
+    # nullif guards the empty-string denominator in BOTH dialects: under
+    # Spark 4's default ANSI mode a bare /0 is a job-killing
+    # DIVIDE_BY_ZERO, and the ratio of an empty text is honestly
+    # undefined (NULL), not a crash. (The word-count denominators can't
+    # hit 0: split(trim('')) is [''], size 1, in both engines.)
     "punct_ratio": round_sql(
         "cast(length(__COL__) - length(regexp_replace(__COL__, __RX_PUNCT__, ''__G__)) as double)"
-        " / length(__COL__)"
+        " / nullif(length(__COL__), 0)"
     ),
     "digit_ratio": round_sql(
         "cast(length(__COL__) - length(regexp_replace(__COL__, __RX_DIGIT__, ''__G__)) as double)"
-        " / length(__COL__)"
+        " / nullif(length(__COL__), 0)"
     ),
 }
 
@@ -110,7 +115,9 @@ QUALITY_SCORE_TPL = round_sql(
     + _d("0.25") + " * least(length(__COL__) / " + _d("200.0") + ", " + _d("1.0") + ") "
     "+ " + _d("0.25") + " * least((" + QUALITY_PARTS["n_words"] + ") / " + _d("40.0") + ", " + _d("1.0") + ") "
     "+ " + _d("0.25") + " * least((" + QUALITY_PARTS["stopword_ratio"] + ") * " + _d("5.0") + ", " + _d("1.0") + ") "
-    "+ " + _d("0.25") + " * (" + _d("1.0") + " - least((" + QUALITY_PARTS["punct_ratio"] + ") * " + _d("10.0") + ", " + _d("1.0") + "))))"
+    # coalesce: an empty text's punct_ratio is NULL (nullif guard above) —
+    # score it as zero punctuation rather than poisoning the whole sum
+    "+ " + _d("0.25") + " * (" + _d("1.0") + " - least(coalesce((" + QUALITY_PARTS["punct_ratio"] + ") * " + _d("10.0") + ", " + _d("0.0") + "), " + _d("1.0") + "))))"
 )
 
 # --- language identification -----------------------------------------------------

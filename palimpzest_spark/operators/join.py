@@ -59,7 +59,13 @@ def relational_join(
     cond = None
     for k in on:
         rk = renames.get(k, k)
-        clause = left[k].eqNullSafe(r[rk]) if spark_how == "full_outer" else (left[k] == r[rk])
+        # plain == for EVERY join type, full_outer included: standard SQL
+        # key equality never matches NULLs (each null-key row surfaces as
+        # an unmatched null-filled row). eqNullSafe here would cross-join
+        # the two sides' null-key rows — on realistically null-heavy keys
+        # that's a quadratic blowup, and it diverges from the DuckDB
+        # oracle's `ON b.k = u.k`.
+        clause = left[k] == r[rk]
         cond = clause if cond is None else (cond & clause)
 
     joined = left.join(r, cond, spark_how)
@@ -125,18 +131,38 @@ def asof_join(
     )
     unioned = lt.unionByName(rt)
 
+    # deterministic tie resolution: two right rows sharing (key, right_ts)
+    # must always yield the SAME winner or repeated runs (and the oracle
+    # compare) see different attached payloads — the struct itself is the
+    # final sort key (lexicographic over its fields). Maps are not
+    # orderable in Spark; a map-typed right payload falls back to the
+    # ts-only order (documented nondeterminism under exact duplicates).
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    rstruct_dt = r.select(rstruct_t.alias("_r")).schema["_r"].dataType
+    tiebreak = [F.asc_nulls_first("_r")] if _orderable(rstruct_dt) else []
+
     if direction == "backward":
         # right rows sort before left rows at equal _t so an exact-ts match
         # is visible to the left row (ties: ts_right == ts_left matches)
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.asc("_t"), F.asc("_is_left"))
+            .orderBy(F.asc("_t"), F.asc("_is_left"), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     elif direction == "forward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.desc("_t"), F.asc("_is_left"))
+            .orderBy(F.desc("_t"), F.asc("_is_left"), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:

@@ -148,8 +148,12 @@ def split_convert(
     merger = _infer_udf(merge_fn or default_infer_fn("split-merge"))
 
     size = F.length(F.coalesce(F.col(text_col), F.lit("")))
-    chunk_len = F.greatest(F.ceil(size / num_chunks).cast("int"), F.lit(1))
     n = F.when(size < min_size_to_chunk, F.lit(1)).otherwise(F.lit(num_chunks))
+    # chunk length from the ACTUAL chunk count n, not the constant
+    # num_chunks: a short doc takes the n=1 ungated path and its single
+    # chunk must cover the whole text — ceil(size/num_chunks) silently
+    # truncated it to 1/num_chunks of the document
+    chunk_len = F.greatest(F.ceil(size / n).cast("int"), F.lit(1))
     chunks = F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.substring(F.col(text_col), i * chunk_len + 1, chunk_len),

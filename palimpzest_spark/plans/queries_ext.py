@@ -1619,7 +1619,7 @@ SELECT doc_id, lang FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
   CASE WHEN lang = 'en' THEN '19999999'
        WHEN lang = 'es' THEN '80000000'
-       WHEN lang = 'zh' THEN 'ffffffff'
+       WHEN lang = 'zh' THEN 'g'
        ELSE '00000000' END
 """,
 )
@@ -1776,7 +1776,7 @@ SELECT doc_id, lang,
        quality_score
 FROM kept
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-  CASE WHEN lang = 'en' THEN '4ccccccc' ELSE 'ffffffff' END
+  CASE WHEN lang = 'en' THEN '4ccccccc' ELSE 'g' END
 """,
 )
 def training_export_pipeline(spark, sf_dir):
@@ -1897,8 +1897,8 @@ WITH d AS (
 ),
 p AS (
   SELECT doc_id, text,
-         greatest(cast(ceil(sz / 4.0) AS int), 1) AS clen,
-         CASE WHEN sz < 64 THEN 1 ELSE 4 END AS n
+         CASE WHEN sz < 64 THEN 1 ELSE 4 END AS n,
+         greatest(cast(ceil(sz / (CASE WHEN sz < 64 THEN 1 ELSE 4 END * 1.0)) AS int), 1) AS clen
   FROM d
 ),
 ch AS (

@@ -945,3 +945,19 @@ def test_pdf_lzw_decode_stream():
         + b" /Filter /LZWDecode >>\nstream\n" + z + b"\nendstream\nendobj\n%%EOF"
     )
     assert "the quick brown fox" in extract_pdf_text(pdf)
+
+
+def test_probe_buckets_honors_any_hamming_distance():
+    """The multiprobe recall knob must expand for hamming > 2 (it was
+    silently capped at 2) and stay exact: sum_{d<=h} C(bits, d) buckets."""
+    from math import comb
+
+    from palimpzest_spark.functions.similarity import probe_buckets
+
+    q = 0b10110010
+    for h in range(0, 5):
+        got = probe_buckets(q, 8, h)
+        assert len(got) == sum(comb(8, d) for d in range(h + 1)), h
+        assert all(bin((b ^ q)).count("1") <= h for b in got)
+    # hamming beyond bits saturates at the full bucket space
+    assert len(probe_buckets(0, 4, 99)) == 16

@@ -102,3 +102,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_buck_l")
         spark.sql("DROP TABLE IF EXISTS t_buck_r")
+
+
+def test_asof_join_tie_on_right_ts_is_deterministic(spark):
+    """Two right rows sharing (key, right_ts) must attach the SAME winner on
+    every run/partitioning: the window tiebreaks on the right-payload struct
+    (max wins), not on partition layout."""
+    from palimpzest_spark.operators.join import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b")], "k int, rts int, payload string"
+    )
+    outs = set()
+    for parts in (1, 7):
+        out = asof_join(
+            left.repartition(parts), right.repartition(parts),
+            on=["k"], left_ts="ts", right_ts="rts",
+        ).collect()
+        assert len(out) == 1
+        outs.add(out[0]["payload"])
+    assert outs == {"b"}, outs  # max struct (rts, payload) wins, always

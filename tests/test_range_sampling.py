@@ -76,7 +76,10 @@ def test_range_join_no_duplicate_pairs_when_interval_spans_chunks(spark, pts_and
 
 def test_hash_threshold_bounds():
     assert hash_threshold(0.0) == "00000000"
-    assert hash_threshold(1.0) == "ffffffff"
+    # 1.0 sorts above EVERY 8-hex-digit bucket: a 100% sample keeps the
+    # bucket-0xffffffff rows that a clamped 'ffffffff' + strict < dropped
+    assert hash_threshold(1.0) == "g"
+    assert "ffffffff" < hash_threshold(1.0)
     assert hash_threshold(0.2) == "33333333"
     with pytest.raises(ValueError):
         hash_threshold(1.5)
