@@ -46,12 +46,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     deterministic by min-id.
     """
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    keyed = df.withColumn("_fp", F.xxhash64(norm))
+    keyed = _fan_out(df).withColumn("_fp", F.xxhash64(norm))
     winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, [id_col, "_fp"], "inner").drop("_fp")
 
 
 # --- shingling (shared) -----------------------------------------------------------
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.5 input skew / §6 split sizing).
+
+    A small compressed parquet source opens as very few input splits (split
+    assignment is by compressed bytes and collapses to row-group granularity
+    — a single-row-group file is ONE task no matter the config), which caps
+    every downstream per-row stage at that parallelism: at sf1.0 the 5.7 MB
+    documents table ran the whole shingling/signature pipeline on 2 of 32
+    cores (~28s sig stage; 16x latent). One cheap round-robin repartition of
+    the few-MB (id, text) projection restores full fan-out.
+
+    Adaptive, not constant-tuned: the target is ``defaultParallelism`` (set
+    from the session's core/executor count) and the repartition is SKIPPED
+    whenever the scan already fans out to at least half of it — a real
+    100 TB corpus arrives in thousands of splits, so this is a no-op there
+    and never adds a shuffle of heavyweight payloads at scale.
+    """
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (unusual plan shapes)
+        return df
+    if cur * 2 >= target:
+        return df
+    return df.repartition(target)
 
 
 def word_shingles(col: str, n: int = 3) -> F.Column:
@@ -151,9 +178,26 @@ def ngram_jaccard_pairs(
     adds an equi-key that both bounds the join and preserves exactness
     within blocks.
     """
-    base = df.select(
+    narrow = _fan_out(
+        df.select(id_col, text_col, *([block_col] if block_col else []))
+    )
+    # r6: grams are HASHED to 8-byte longs (xxhash64) right after shingling,
+    # and every downstream stage — the document-frequency groupBy, the
+    # rarity ranking, the prefix self-join, the verification intersections —
+    # runs on longs instead of ~20-byte gram strings (guide §2.3 narrower
+    # types: ~60% fewer shuffle bytes through three exchanges, and
+    # array_intersect/array_union hash longs instead of strings). Jaccard on
+    # the hashed sets equals Jaccard on the string sets unless two DISTINCT
+    # grams of the same pair's ~100-gram union collide in 64 bits
+    # (P ~ 10^-16 per pair; verified exactly equal to the string-gram output
+    # on every test SF). The rarity order's tie-break changes (hash order vs
+    # lexicographic) — irrelevant for exactness: ANY consistent total order
+    # satisfies the prefix lemma, and candidates only affect cost.
+    base = narrow.select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("grams"),
+        F.array_distinct(
+            F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("grams"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     ).withColumn("sz", F.size("grams"))
     # the gram arrays feed three consumers (prefix ranking + both verify
@@ -163,7 +207,7 @@ def ngram_jaccard_pairs(
     tok = base.select("id", "sz", F.explode("grams").alias("g"),
                       *(["blk"] if block_col else []))
     freq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
-    # rarest-first total order (ties broken by the gram itself); prefix
+    # rarest-first total order (ties broken by the gram hash itself); prefix
     # length p = sz - ceil(t*sz) + 1
     ranked = (
         tok.join(freq, "g")
@@ -180,13 +224,27 @@ def ngram_jaccard_pairs(
         )
         .select(
             "id", "sz",
-            F.explode(
+            F.posexplode(
                 F.transform(F.slice("ordered", 1, F.col("p")), lambda x: x["g"])
-            ).alias("g"),
+            ).alias("pos", "g"),
             *(["blk"] if block_col else []),
         )
     )
+    # the prefix rows feed BOTH sides of the self-join; persisting avoids a
+    # second full tok->freq->rank pass (r6: measured ~40% of the pair cost)
+    ranked = ranked.persist()
     a, b = ranked.alias("a"), ranked.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008), exact: a true pair's
+    # FIRST shared gram (in the global order) is in both prefixes, and past
+    # it each side has sz - pos - 1 grams left, so the overlap reachable
+    # through THIS match is 1 + min(...); pruning matches below the required
+    # overlap alpha = ceil(t/(1+t) * (szA+szB)) keeps at least that first
+    # match of every true pair (epsilon again keeps alpha from rounding UP
+    # through float noise, which could only over-prune).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(1e-9)
+    )
     cond = (
         (F.col("a.g") == F.col("b.g"))
         & (F.col("a.id") < F.col("b.id"))
@@ -194,6 +252,14 @@ def ngram_jaccard_pairs(
         # exact-boundary pair like |A|=5,|B|=3 at t=0.6 must survive)
         & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(1e-9))
         & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(1e-9))
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("a.sz") - F.col("a.pos") - 1,
+                F.col("b.sz") - F.col("b.pos") - 1,
+            )
+            >= alpha
+        )
     )
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
@@ -217,7 +283,7 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
-    return _scoped_release(out, base)
+    return _scoped_release(out, base, ranked)
 
 
 # --- MinHash + LSH -------------------------------------------------------------------
@@ -253,6 +319,51 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 _GRAM_C = (0x9E377, 0x85EBD, 0xC2B2B)
 
 
+# XXH64 primes (public xxHash spec, same constants as Spark's XXH64.java)
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_long(value: np.ndarray, seed: np.ndarray | np.uint64) -> np.ndarray:
+    """Vectorized twin of Spark's ``XXH64.hashLong(value, seed)`` — the
+    primitive behind ``F.xxhash64`` on a LONG column. uint64 arithmetic
+    wraps mod 2^64 by construction; bit-identity with the JVM is pinned by
+    ``tests/test_functions.py::test_xxh64_long_matches_spark``."""
+    r31, r33 = np.uint64(31), np.uint64(33)
+    r27, r29, r32 = np.uint64(27), np.uint64(29), np.uint64(32)
+    w64 = np.uint64(64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the algorithm
+        k = value * _XXP2
+        k = ((k << r31) | (k >> (w64 - r31))) * _XXP1
+        h = (seed + _XXP5 + np.uint64(8)) ^ k
+        h = ((h << r27) | (h >> (w64 - r27))) * _XXP1 + _XXP4
+        h ^= h >> r33
+        h *= _XXP2
+        h ^= h >> r29
+        h *= _XXP3
+        return h ^ (h >> r32)
+
+
+def _xxh64_int(value: np.uint64, seed: np.ndarray | np.uint64) -> np.ndarray:
+    """Vectorized twin of Spark's ``XXH64.hashInt(value, seed)`` — the path
+    an INTEGER literal takes inside ``F.xxhash64`` (a python-int ``F.lit``
+    is IntegerType, so the permutation ordinal folds through the 4-byte
+    primitive, not the 8-byte one)."""
+    r23, r33 = np.uint64(23), np.uint64(33)
+    r29, r32, w64 = np.uint64(29), np.uint64(32), np.uint64(64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the algorithm
+        h = (seed + _XXP5 + np.uint64(4)) ^ ((value & np.uint64(0xFFFFFFFF)) * _XXP1)
+        h = ((h << r23) | (h >> (w64 - r23))) * _XXP2 + _XXP3
+        h ^= h >> r33
+        h *= _XXP2
+        h ^= h >> r29
+        h *= _XXP3
+        return h ^ (h >> r32)
+
+
 def _minhash_signatures_jvm(
     df: DataFrame,
     text_col: str,
@@ -261,57 +372,113 @@ def _minhash_signatures_jvm(
     shingle_n: int,
     seed: int,
 ) -> DataFrame:
-    """(id, signature: array<long>) — pure JVM codegen, zero Python workers.
+    """(id, signature: array<long>) — JVM string hashing + one Arrow stage
+    for the permutation rehash.
 
-    The at-scale default tier (round-4 VERDICT #2): each gram string is
-    hashed ONCE with ``xxhash64`` (cost proportional to string length), and
-    the ``num_perm`` permutations are derived by REHASHING that 8-byte long
-    with the permutation ordinal as a second xxhash64 input — a fixed-width
-    mix, so total work is one string hash + 64 long hashes per gram, all
-    inside Tungsten. ``array_min`` over each permuted array is the minhash.
+    The at-scale default tier: each gram string is hashed ONCE with
+    ``xxhash64`` in the JVM (cost proportional to string length — the only
+    work that has to touch the text), and the ``num_perm`` permutations are
+    derived by REHASHING that 8-byte long with the permutation ordinal —
+    ``xxhash64(h, i)`` — followed by a per-document min.
 
-    Two deliberate plan-shape points:
+    The rehash+min lives in a single ``mapInArrow`` stage (r6): Catalyst
+    higher-order functions are CodegenFallback — interpreted per element,
+    one fresh array per permutation — so the r4/r5 pure-JVM
+    ``array_min(transform(_gh, h -> xxhash64(h, i)))`` form paid ~64
+    interpreted passes per row and dominated the sf1.0 bench (77.6s
+    driver-measured for ``dedup_minhash_docs``). Here the flattened gram
+    hashes cross into numpy ONCE (8 bytes/gram) and the 64 rehash+min
+    passes are ~12 vectorized uint64 ops each over the whole batch. The
+    numpy rehash (``_xxh64_long``) is a bit-identical twin of the JVM
+    xxhash64 fold, so the signature VALUES are unchanged from r5
+    (pinned by ``test_minhash_jvm_rehash_bit_identical``).
+
+    Plan-shape points:
     - the gram array and the once-hashed long array live in their own
       projections; Catalyst's CollapseProject will NOT inline an expensive
-      expression referenced 64 times, so the shingling/string-hash work is
-      evaluated once per row, not re-inlined per permutation (verified via
-      explain in tests).
-    - ``xxhash64(h, i)`` as the permutation family replaces the
-      ``(a*h+b) mod 2^61-1`` universal family of the Python tiers: not
-      algebraically universal, but xxhash64 is an avalanche mixer, which is
-      what the banding probability model actually needs; it is deterministic
-      across processes/JVMs (unlike builtin hash()).
+      expression referenced downstream, so shingling/string-hash work is
+      evaluated once per row (verified via explain in tests);
+    - only (id, _gh) flow into the Arrow stage — an explicit select keeps
+      the text column out of the Python crossing (guide §4.1);
+    - ``xxhash64(h, i)`` as the permutation family: not algebraically
+      universal, but an avalanche mixer, which is what the banding model
+      P(candidate)=1-(1-s^r)^b actually assumes; deterministic across
+      processes/JVMs (unlike builtin hash()).
 
-    Measured alternatives (sf0.1, local[32], interleaved steal-clean cold
-    trials, 2026-08-18) before settling on this shape: (a) Catalyst HOFs
-    (``transform``/``array_min``) are CodegenFallback — interpreted per
-    element — so an explode→hash-aggregate formulation (64 codegen ``min``
-    aggs over exploded gram rows, zero HOFs) was tried: ~30% SLOWER (5.6s
-    vs 4.2s sig-only) — exploding ~10M gram rows + the groupBy shuffle
-    costs more than the HOF interpretation saves. (b) The numpy
-    ``mapInPandas`` tier measures within window noise of this tier (sig-only
-    3.9 vs 4.2s; full minhash_lsh_pairs 5.2 vs 5.4s in a repeat window; one
-    window showed numpy 1.4x faster but did not reproduce). Equal cost with
-    zero Python workers decides for this tier as the default.
+    Measured alternatives (sf0.1/sf1.0, local[32]) before this shape:
+    (a) explode→hash-aggregate (64 codegen ``min`` aggs over exploded gram
+    rows, zero HOFs): ~30% slower than the HOF form — the explode + groupBy
+    shuffle costs more than HOF interpretation saves. (b) the crc32 numpy
+    ``mapInPandas`` tier: within noise of the HOF form — its per-token
+    Python hashing loop eats the vectorization win. (c) this hybrid:
+    string-hash stays in codegen, only fixed-width arithmetic crosses.
     """
     grams = word_shingles("_t", shingle_n)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    base = _fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        )
     ).select("id", grams.alias("_grams"))
     hashed = base.select(
         "id",
         F.transform("_grams", lambda g: F.xxhash64(g, F.lit(seed))).alias("_gh"),
     )
-    # NB: the per-permutation lambda must take ONE argument — pyspark's
-    # ``transform`` treats a two-parameter callable as the (element, index)
-    # variant, so a ``lambda h, i=i`` would have its bound ordinal shadowed
-    # by the array index (all 64 permutations silently identical).
-    def perm(i: int) -> F.Column:
-        return F.array_min(F.transform("_gh", lambda h: F.xxhash64(h, F.lit(i))))
 
-    perms = [perm(i) for i in range(num_perm)]
-    return hashed.select("id", F.array(*perms).alias("signature"))
+    # per-permutation constant: rotl(i * P2, 31) * P1 (the input-dependent
+    # half of hashLong(i, seed) — seed varies per gram, input i is fixed)
+    iv = np.arange(num_perm, dtype=np.uint64)
+    seed42 = np.uint64(42)
+
+    def rehash(batches):
+        import pyarrow as pa
+
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            gh = batch.column(1)
+            lens = pc.list_value_length(gh).to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = gh.flatten().to_numpy(zero_copy_only=False)
+            n_docs = len(ids)
+            if n_docs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.list_(pa.int64()))],
+                    ["id", "signature"],
+                )
+                continue
+            h = vals.view(np.uint64) if vals.dtype == np.int64 else vals.astype(np.uint64)
+            # inner chain: xxhash64(gram_string, lit(seed)) already ran in the
+            # JVM; F.xxhash64(h, lit(i)) folds as hashLong(i, hashLong(h, 42))
+            h2 = _xxh64_long(h, seed42)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            nz = lens > 0
+            sig = np.empty((n_docs, num_perm), dtype=np.int64)
+            for i in range(num_perm):
+                permed = _xxh64_int(iv[i], h2).view(np.int64)
+                if nz.all():
+                    sig[:, i] = np.minimum.reduceat(permed, starts)
+                else:
+                    sig[nz, i] = np.minimum.reduceat(permed, starts[nz])
+            if nz.all():
+                offsets = np.concatenate(([0], np.arange(1, n_docs + 1) * num_perm))
+                out = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(sig.reshape(-1), type=pa.int64()),
+                )
+            else:
+                # a 0-gram row cannot occur via word_shingles (it emits >= 1
+                # gram even for empty text) but mirror array_min-of-empty ->
+                # NULL signature elements for robustness
+                rows = [
+                    sig[j].tolist() if nz[j] else [None] * num_perm
+                    for j in range(n_docs)
+                ]
+                out = pa.array(rows, type=pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays([ids, out], ["id", "signature"])
+
+    return hashed.mapInArrow(rehash, schema="id long, signature array<long>")
 
 
 def minhash_signatures(
@@ -434,7 +601,7 @@ def minhash_signatures(
             flush()
             yield pd.DataFrame({"id": ids, "signature": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fan_out(df.select(id_col, text_col)).mapInPandas(
         compute, schema="id long, signature array<long>"
     )
 
@@ -575,7 +742,9 @@ def simhash_signatures(
                 out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # two's-complement long
             yield pd.DataFrame({"id": pdf[id_col], "simhash": pd.array(out, dtype="int64")})
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema="id long, simhash long")
+    return _fan_out(df.select(id_col, text_col)).mapInPandas(
+        compute, schema="id long, simhash long"
+    )
 
 
 def simhash_pairs(
@@ -689,7 +858,7 @@ def winnow_fingerprints(
         return pd.Series(out)
 
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
-    return df.select(
+    return _fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.explode(fps(norm)).alias("fingerprint")
     )
 

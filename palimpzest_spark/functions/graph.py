@@ -66,7 +66,15 @@ def connected_components(
         return _cc_star(edges, src, dst, max_iter)
     if algorithm != "minlabel":
         raise ValueError(f"unknown algorithm: {algorithm}")
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Materialize the edge list ONCE before symmetrizing: the union reads
+    # ``e`` twice, so a lazy plan would execute the (often expensive)
+    # upstream pair-generation twice in the same job — at sf1.0 the curation
+    # pipeline's prefix-join ran double until this checkpoint (r6). The
+    # checkpoint stores only (src, dst) rows, the cheapest possible form of
+    # the input, and truncates the upstream lineage for every later round.
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
+    )
     # Symmetrize once; propagation along both directions makes min-labels
     # flow through the whole component.
     sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))

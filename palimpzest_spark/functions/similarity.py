@@ -389,6 +389,210 @@ def ivf_top_k_dot(
     )
 
 
+def _sem_topk_exact_arrow(
+    q: DataFrame, c: DataFrame, vec_col: str, id_col: str, k: int
+) -> DataFrame | None:
+    """Exact per-record top-k against an index-sized corpus as ONE Arrow
+    stage: the corpus (id, vector) is materialized once (same driver
+    footprint as the broadcast join it replaces), shipped to executors via
+    ``sc.broadcast``, and each record batch computes its sims against the
+    whole matrix with vectorized numpy.
+
+    Bit-identity contract with the JVM formulation it replaces
+    (``aggregate(zip_with(qv, cv, a*b), 0.0d, acc+x)`` etc.):
+    - float32 x float32 products stay float32; everything else multiplies
+      in float64 (Spark promotes the narrower side exactly);
+    - accumulation is SEQUENTIAL float64, one dimension at a time — the
+      same IEEE op order as the JVM fold, so sums match bit-for-bit;
+    - sim = dot / (norm_q * norm_c), norms folded the same way;
+    - ordering is (sim DESC, id ASC) with Spark semantics: NaN sorts
+      greatest, NULL sims (null vector / length mismatch) sort last by id.
+
+    Returns None when the shapes fall outside the fast path (non-numeric
+    ids, non-float vectors, ragged corpus) — the caller falls back to the
+    join formulation.
+    """
+    from pyspark.sql import types as T
+
+    c_el = c.schema[vec_col].dataType
+    q_el = q.schema["_qv"].dataType
+    id_t = c.schema[id_col].dataType
+    if not (
+        isinstance(c_el, T.ArrayType)
+        and isinstance(q_el, T.ArrayType)
+        and isinstance(c_el.elementType, (T.FloatType, T.DoubleType))
+        and isinstance(q_el.elementType, (T.FloatType, T.DoubleType))
+        and isinstance(id_t, (T.IntegerType, T.LongType, T.ShortType))
+    ):
+        return None
+    c_f32 = isinstance(c_el.elementType, T.FloatType)
+    q_f32 = isinstance(q_el.elementType, T.FloatType)
+    both_f32 = c_f32 and q_f32
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tab = c.select(id_col, vec_col).toArrow()
+    ids_col = tab.column(0).combine_chunks()
+    vec_arr = tab.column(1).combine_chunks()
+    n_corpus = len(ids_col)
+    ids_all = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    clens = pc.fill_null(pc.list_value_length(vec_arr), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    cnull = vec_arr.is_null().to_numpy(zero_copy_only=False)
+    cvals = vec_arr.flatten().to_numpy(zero_copy_only=False)
+    if n_corpus and not cnull.any() and clens.size and (clens == clens[0]).all():
+        dim = int(clens[0]) if clens.size else 0
+        Cm = cvals.reshape(n_corpus, dim)
+        good_ids = ids_all
+        null_tail = np.empty(0, dtype=np.int64)
+    else:
+        # ragged / null corpus vectors: keep the modal-length rows in the
+        # matrix, everything else joins the null-sim tail (the JVM zip_with
+        # over mismatched lengths folds to a NULL sim)
+        if n_corpus == 0:
+            dim, Cm = 0, np.empty((0, 0), dtype=cvals.dtype)
+            good_ids = np.empty(0, dtype=np.int64)
+            null_tail = np.empty(0, dtype=np.int64)
+        else:
+            lens_ok = clens[~cnull]
+            if lens_ok.size == 0:
+                return None
+            dim = int(np.bincount(lens_ok).argmax())
+            goodm = (~cnull) & (clens == dim)
+            starts_all = np.cumsum(clens) - clens
+            idx = starts_all[goodm][:, None] + np.arange(dim)[None, :]
+            Cm = cvals[idx.reshape(-1)].reshape(-1, dim)
+            good_ids = ids_all[goodm]
+            null_tail = np.sort(ids_all[~goodm])
+    # corpus norms: x*x in the element dtype, sequential float64 accumulation
+    acc_c = np.zeros(len(Cm), dtype=np.float64)
+    for j in range(dim):
+        p = Cm[:, j] * Cm[:, j]
+        acc_c += p
+    cn = np.sqrt(acc_c)
+    all_ids_sorted = np.sort(ids_all)
+
+    spark = q.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (good_ids, Cm, cn, null_tail, all_ids_sorted, dim)
+    )
+    nk_cap = k
+    id_arrow = tab.schema.field(0).type
+
+    def kernel(batches):
+        g_ids, C, c_norm, n_tail, a_sorted, L = bc.value
+        N = len(g_ids)
+        total = N + len(n_tail)
+        prod_f32 = both_f32
+        for batch in batches:
+            rid = batch.column(0)
+            qv = batch.column(1)
+            qlens = pc.fill_null(pc.list_value_length(qv), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            qnull = qv.is_null().to_numpy(zero_copy_only=False)
+            qvals = qv.flatten().to_numpy(zero_copy_only=False)
+            starts = np.cumsum(qlens) - qlens
+            good = (~qnull) & (qlens == L)
+            take_idx: list[np.ndarray] = []
+            ranks: list[np.ndarray] = []
+            out_ids: list[np.ndarray] = []
+            out_sims: list[np.ndarray] = []
+            null_mask: list[np.ndarray] = []
+            # records whose vector is NULL / wrong length: every sim is
+            # NULL, so the window ordering degenerates to id ASC
+            nk_null = min(nk_cap, len(a_sorted))
+            for r in np.nonzero(~good)[0]:
+                take_idx.append(np.full(nk_null, r, dtype=np.int64))
+                ranks.append(np.arange(1, nk_null + 1, dtype=np.int32))
+                out_ids.append(a_sorted[:nk_null])
+                out_sims.append(np.zeros(nk_null, dtype=np.float64))
+                null_mask.append(np.ones(nk_null, dtype=bool))
+            grows = np.nonzero(good)[0]
+            if grows.size and total:
+                gidx = starts[grows][:, None] + np.arange(L)[None, :]
+                Q = qvals[gidx.reshape(-1)].reshape(-1, L)
+                # record-chunking bounds the (chunk x corpus) f64 working set
+                chunk = max(1, 4_000_000 // max(N, 1))
+                nk = min(nk_cap, total)
+                for s0 in range(0, len(grows), chunk):
+                    Qc = Q[s0 : s0 + chunk]
+                    rows = grows[s0 : s0 + chunk]
+                    m = len(Qc)
+                    acc = np.zeros((m, N), dtype=np.float64)
+                    accq = np.zeros(m, dtype=np.float64)
+                    if prod_f32:
+                        for j in range(L):
+                            acc += Qc[:, j][:, None] * C[:, j][None, :]
+                            accq += Qc[:, j] * Qc[:, j]
+                    else:
+                        Q64 = Qc.astype(np.float64)
+                        C64 = C.astype(np.float64)
+                        for j in range(L):
+                            acc += Q64[:, j][:, None] * C64[:, j][None, :]
+                            accq += Q64[:, j] * Q64[:, j]
+                    qn = np.sqrt(accq)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sim = acc / (qn[:, None] * c_norm[None, :])
+                    # ranking key: Spark orders descending doubles with NaN
+                    # greatest (NaN -> +inf here); ties fall to id ASC via
+                    # the stable lexsort secondary key
+                    simk = np.where(np.isnan(sim), np.inf, sim)
+                    for t in range(m):
+                        order = np.lexsort((g_ids, -simk[t]))[: min(nk, N)]
+                        ids_t = g_ids[order]
+                        sims_t = sim[t, order]
+                        nulls_t = np.zeros(len(order), dtype=bool)
+                        if len(order) < nk:  # fill from the null-sim tail
+                            fill = n_tail[: nk - len(order)]
+                            ids_t = np.concatenate([ids_t, fill])
+                            sims_t = np.concatenate(
+                                [sims_t, np.zeros(len(fill), dtype=np.float64)]
+                            )
+                            nulls_t = np.concatenate(
+                                [nulls_t, np.ones(len(fill), dtype=bool)]
+                            )
+                        take_idx.append(np.full(len(ids_t), rows[t], dtype=np.int64))
+                        ranks.append(np.arange(1, len(ids_t) + 1, dtype=np.int32))
+                        out_ids.append(ids_t)
+                        out_sims.append(sims_t)
+                        null_mask.append(nulls_t)
+            if take_idx:
+                ti = np.concatenate(take_idx)
+                rk = np.concatenate(ranks)
+                oi = np.concatenate(out_ids)
+                osim = np.concatenate(out_sims)
+                onull = np.concatenate(null_mask)
+            else:
+                ti = np.empty(0, dtype=np.int64)
+                rk = np.empty(0, dtype=np.int32)
+                oi = np.empty(0, dtype=np.int64)
+                osim = np.empty(0, dtype=np.float64)
+                onull = np.empty(0, dtype=bool)
+            rid_out = rid.take(pa.array(ti, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rid_out,
+                    pa.array(rk, type=pa.int32()),
+                    pa.array(oi, type=pa.int64()).cast(id_arrow),
+                    pa.array(osim, mask=onull, type=pa.float64()),
+                ],
+                ["_rid", "_rk", id_col, "_sim"],
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_rid", q.schema["_rid"].dataType, True),
+            T.StructField("_rk", T.IntegerType(), False),
+            T.StructField(id_col, id_t, True),
+            T.StructField("_sim", T.DoubleType(), True),
+        ]
+    )
+    return q.mapInArrow(kernel, schema=out_schema)
+
+
 def sem_topk(
     records: DataFrame,
     corpus: DataFrame,
@@ -449,21 +653,54 @@ def sem_topk(
             *[F.col("_qb0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
         )
         joined = qb.withColumn("_cb", F.explode(probes)).join(cb, "_cb")
+        dot = F.aggregate(
+            F.zip_with(F.col("_qv"), F.col(vec_col), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sim = dot / (_norm("_qv") * _norm(vec_col))
+        w = Window.partitionBy("_rid").orderBy(F.desc("_sim"), F.asc(id_col))
+        top = (
+            joined.withColumn("_sim", sim)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+        )
     else:
-        joined = q.join(F.broadcast(c))
-
-    dot = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col(vec_col), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    sim = dot / (_norm("_qv") * _norm(vec_col))
-    w = Window.partitionBy("_rid").orderBy(F.desc("_sim"), F.asc(id_col))
-    top = (
-        joined.withColumn("_sim", sim)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-    )
+        # exact tier, r6 shape: the corpus is index-sized BY CONTRACT (it was
+        # already fully materialized on the driver by the r5 broadcast join),
+        # so ship it once per executor as a numpy matrix and stream the
+        # records through one mapInArrow partial top-k — the r5 plan was a
+        # broadcast NESTED-LOOP cross join whose per-pair dot ran in
+        # CodegenFallback-interpreted higher-order functions: records x
+        # corpus x dim interpreted steps (65s driver-measured at sf1.0 for
+        # sem_topk_attach_oracle). The kernel's float math reproduces the
+        # JVM fold bit-for-bit (float32 products, sequential float64
+        # accumulation), so sims / ranks / ties are unchanged; pinned by
+        # test_sem_topk_exact_arrow_matches_jvm_join.
+        top = _sem_topk_exact_arrow(
+            q, c.drop(payload_col) if payload_col else c, vec_col, id_col, k
+        )
+        if top is None:
+            # fallback for shapes outside the Arrow fast path (non-numeric
+            # ids, non-float vectors): the r5 broadcast-join formulation
+            joined = q.join(F.broadcast(c))
+            dot = F.aggregate(
+                F.zip_with(F.col("_qv"), F.col(vec_col), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            sim = dot / (_norm("_qv") * _norm(vec_col))
+            w = Window.partitionBy("_rid").orderBy(F.desc("_sim"), F.asc(id_col))
+            top = (
+                joined.withColumn("_sim", sim)
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k)
+            )
+        elif payload_col:
+            # re-attach the payload by id: the top frame is <= records*k rows
+            # (tiny), so Catalyst broadcasts it against the corpus scan — the
+            # corpus payload never crosses the Python boundary
+            top = top.join(c.select(id_col, payload_col), id_col, "left")
     entry = F.struct(
         F.col("_rk").alias("rank"),
         F.col(id_col).alias("id"),

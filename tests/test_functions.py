@@ -100,22 +100,28 @@ def test_minhash_deterministic_across_runs(spark, docs):
 
 
 def test_minhash_jvm_plan_hashes_grams_once(spark, docs):
-    """The JVM signature tier must evaluate the shingling + string hash ONCE
-    per row, with the 64 permutations rehashing the 8-byte longs — not have
-    CollapseProject re-inline the gram expression into every permutation
-    (that would re-split/re-join the text 64x per row)."""
+    """The default signature tier must evaluate the shingling + string hash
+    ONCE per row inside the JVM — not have CollapseProject re-inline the
+    gram expression into every permutation (that would re-split/re-join the
+    text 64x per row) — and cross the Python boundary EXACTLY ONCE, with
+    only (id, gram-hash array) shipped: the r6 Arrow stage that replaced the
+    64 interpreted HOF rehash passes (bit-identity with the r5 expression is
+    pinned by tests/test_r06_optimizations.py)."""
     # parquet-backed source: a LocalRelation fixture would be constant-folded
     # by ConvertToLocalRelation, leaving no projects to inspect
     pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    sigs = dedup.minhash_signatures(pq)  # default tier = jvm
+    sigs = dedup.minhash_signatures(pq)  # default tier = jvm string hash + Arrow rehash
     plan = sigs._jdf.queryExecution().optimizedPlan().toString()
     # the shingle builder (array_join over slices) appears once, not 64x
     assert plan.count("array_join") == 1, plan
     assert plan.count("split(") <= 2, plan  # split + maybe size-guard, never 64
 
-    # zero Python stages: no mapInPandas / ArrowEvalPython in the plan
+    # exactly one Python crossing (the rehash mapInArrow), nothing else —
+    # the string->long gram hash itself must stay in the JVM projection
     phys = sigs._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in phys and "Arrow" not in phys, phys
+    assert phys.count("MapInArrow") == 1, phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys
+    assert "xxhash64" in plan.lower(), plan
 
 
 def test_minhash_tiers_agree_on_dup_structure(spark, docs):
