@@ -45,8 +45,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ``DistinctOp`` seen-set semantics (``distinct.py:41-45``) made
     deterministic by min-id.
     """
+    # NB: deliberately NOT _fan_out here — keyed feeds two consumers with no
+    # persist, so a repartition would run (and shuffle full rows) twice; the
+    # design point of this operator is that text never shuffles at all
+    # (winners broadcast back). Measured slower with fan-out (1.2s -> 2.5s).
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    keyed = _fan_out(df).withColumn("_fp", F.xxhash64(norm))
+    keyed = df.withColumn("_fp", F.xxhash64(norm))
     winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, [id_col, "_fp"], "inner").drop("_fp")
 
@@ -54,31 +58,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --- shingling (shared) -----------------------------------------------------------
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Scale-adaptive scan fan-out (guide §2.5 input skew / §6 split sizing).
-
-    A small compressed parquet source opens as very few input splits (split
-    assignment is by compressed bytes and collapses to row-group granularity
-    — a single-row-group file is ONE task no matter the config), which caps
-    every downstream per-row stage at that parallelism: at sf1.0 the 5.7 MB
-    documents table ran the whole shingling/signature pipeline on 2 of 32
-    cores (~28s sig stage; 16x latent). One cheap round-robin repartition of
-    the few-MB (id, text) projection restores full fan-out.
-
-    Adaptive, not constant-tuned: the target is ``defaultParallelism`` (set
-    from the session's core/executor count) and the repartition is SKIPPED
-    whenever the scan already fans out to at least half of it — a real
-    100 TB corpus arrives in thousands of splits, so this is a no-op there
-    and never adds a shuffle of heavyweight payloads at scale.
-    """
-    try:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive (unusual plan shapes)
-        return df
-    if cur * 2 >= target:
-        return df
-    return df.repartition(target)
+# scale-adaptive scan fan-out (see functions/layout.py for the rationale:
+# single-row-group files cap scan parallelism at 1-2 tasks)
+from palimpzest_spark.functions.layout import fan_out as _fan_out  # noqa: E402
 
 
 def word_shingles(col: str, n: int = 3) -> F.Column:
@@ -267,12 +249,18 @@ def ngram_jaccard_pairs(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     ).distinct()
 
-    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    ga = base.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), F.col("sz").alias("sza")
+    )
+    gb = base.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), F.col("sz").alias("szb")
+    )
     pairs = cands.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    jac = inter.cast("double") / union
+    # |A ∪ B| = |A| + |B| - |A ∩ B| — the sets' sizes are already columns,
+    # so the per-pair array_union hash-build (the other half of the verify
+    # CPU) is pure waste; integer identity, bit-identical jaccard (r6)
+    jac = inter.cast("double") / (F.col("sza") + F.col("szb") - inter)
     out = (
         pairs.select("id_a", "id_b", jac.alias("jaccard_raw"))
         .filter(F.col("jaccard_raw") >= threshold)

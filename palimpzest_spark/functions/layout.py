@@ -1,0 +1,31 @@
+"""Physical-layout helpers shared across operators (guide §2.5/§6).
+
+``fan_out``: scale-adaptive repartition after a low-parallelism scan. Parquet
+split assignment is by compressed bytes and collapses to ROW-GROUP
+granularity, so a small single-row-group file is ONE scan task no matter how
+small ``spark.sql.files.maxPartitionBytes`` is — capping every downstream
+per-row stage at that parallelism (at sf1.0 the 5.7 MB documents table ran
+whole pipelines on 2 of 32 cores). One cheap round-robin repartition of the
+narrow projection restores full fan-out.
+
+Adaptive, not constant-tuned: the target is ``defaultParallelism`` (derived
+from the session's core/executor count) and the repartition is SKIPPED when
+the scan already fans out to at least half of it — a real 100 TB input
+arrives in thousands of splits, so this is a no-op there and never adds a
+shuffle of heavyweight payloads at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (unusual plan shapes)
+        return df
+    if cur * 2 >= target:
+        return df
+    return df.repartition(target)

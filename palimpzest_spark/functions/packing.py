@@ -20,6 +20,7 @@ target-engine construction for the training-data tier.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,10 +54,11 @@ def pack_sequences(
     id_field = df.schema[id_col]
     out_schema = T.StructType(
         [
-            T.StructField("_gid", T.LongType()),
             T.StructField(id_col, id_field.dataType),
             T.StructField(token_col, T.LongType()),
-            T.StructField("local_bin", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("bin_tokens", T.LongType()),
+            T.StructField("bin_docs", T.LongType()),
         ]
     )
 
@@ -107,16 +109,28 @@ def pack_sequences(
             while i:
                 tree[i] = max(tree[2 * i], tree[2 * i + 1])
                 i //= 2
+        # r6: bin stats are computed HERE, inside the group that owns every
+        # one of its bins' members, instead of a post-pack groupBy + join —
+        # that join made the applyInPandas a two-consumer subtree, so the
+        # whole packer (and its upstream) executed twice per materialization,
+        # and cost an extra shuffle besides. Same values by construction
+        # (each global bin lives entirely inside one group).
+        an = np.asarray(assign, dtype=np.int64)
+        toks = pdf[token_col].to_numpy().astype(np.int64)
+        bin_tokens = np.bincount(an, weights=toks).astype(np.int64)
+        bin_docs = np.bincount(an).astype(np.int64)
+        gid = int(pdf["_gid"].iloc[0]) if len(pdf) else 0
         return pd.DataFrame(
             {
-                "_gid": pdf["_gid"].to_numpy(),
                 id_col: pdf[id_col].to_numpy(),
-                token_col: pdf[token_col].to_numpy(),
-                "local_bin": assign,
+                token_col: toks,
+                "bin_id": gid * (1 << 32) + an,
+                "bin_tokens": bin_tokens[an],
+                "bin_docs": bin_docs[an],
             }
         )
 
-    grouped = (
+    return (
         df.select(
             F.col(id_col),
             F.col(token_col).cast("long").alias(token_col),
@@ -126,14 +140,5 @@ def pack_sequences(
         )
         .groupBy("_gid")
         .applyInPandas(ffd, out_schema)
-    )
-    packed = grouped.withColumn(
-        "bin_id", (F.col("_gid") * F.lit(1 << 32) + F.col("local_bin")).cast("long")
-    ).drop("_gid", "local_bin")
-
-    stats = packed.groupBy("bin_id").agg(
-        F.sum(token_col).alias("bin_tokens"), F.count(F.lit(1)).alias("bin_docs")
-    )
-    return packed.join(stats, "bin_id").select(
-        id_col, token_col, "bin_id", "bin_tokens", "bin_docs"
+        .select(id_col, token_col, "bin_id", "bin_tokens", "bin_docs")
     )

@@ -97,15 +97,23 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join order matters at scale: the BUILDING-filtered customer dim is
     broadcast onto orders FIRST (cuts the orders probe side ~5× before the
-    only big shuffle), then the reduced orders join lineitem on the key.
-    Catalyst won't reorder this without CBO stats, so we do it explicitly.
-    Global top-10 runs as TakeOrderedAndProject (no full sort).
+    only big join), then the reduced orders — projected to the three columns
+    the aggregate needs and broadcast EXPLICITLY — probe against lineitem,
+    which is never shuffled or broadcast. Without the hint Catalyst sized
+    the 6M-row lineitem projection under the broadcast threshold and built
+    the hash relation on the WRONG side (r6 plan audit: BuildLeft on
+    lineitem, a ~6M-entry broadcast per executor; 7s at sf1.0 vs ~2s with
+    the small side built). Catalyst won't reorder this without CBO stats,
+    so we do it explicitly. Global top-10 runs as TakeOrderedAndProject (no
+    full sort).
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    orders_building = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    joined = li.join(orders_building, li.l_orderkey == orders_building.o_orderkey)
+    orders_building = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = li.join(F.broadcast(orders_building), li.l_orderkey == orders_building.o_orderkey)
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))

@@ -342,7 +342,10 @@ FROM documents
 """,
 )
 def text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    from palimpzest_spark.functions.layout import fan_out
+
+    # regex-heavy per-row exprs: fan past the single-row-group scan cap (r6)
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.expr(X.quality_part_sql("stopword_ratio", "text", "spark")).alias("stopword_ratio"),
@@ -2944,8 +2947,10 @@ def text_repetition_stats(spark, sf_dir):
     fraction + duplicate-line character fraction, Rae et al. 2021 A1.1)
     via functions/text.repetition_stats — two map-side-combinable
     hash-aggs; DuckDB recomputes the same per-line multiplicity fold."""
+    from palimpzest_spark.functions.layout import fan_out
+
     docs = (
-        _t(spark, sf_dir, "documents")
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
