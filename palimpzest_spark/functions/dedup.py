@@ -87,6 +87,24 @@ _LIVE_LOCK = threading.Lock()
 _LIVE_CACHED: list[list[DataFrame]] = []
 _MAX_LIVE_GENERATIONS = 2
 
+# Per-call plan salt. Spark's CacheManager keys persisted data by the
+# CANONICALIZED plan, so two invocations of the same pair function over the
+# same input share one cache entry: the newer call's persist() no-ops
+# ("already cached"), and the generation release of the OLDER call then
+# drops the shared entry mid-query — the newer call silently runs with all
+# its persists dead (r6: the bench's timed curation_pipeline ran 21s vs 6s
+# because the warm pass's release killed its caches). A unique literal
+# column inside each persisted frame makes every call's plan distinct:
+# each invocation owns (and releases) exactly its own cache entries, and a
+# re-run never silently rides a previous run's materialized intermediates.
+_CALL_GEN = [0]
+
+
+def _call_salt() -> F.Column:
+    with _LIVE_LOCK:
+        _CALL_GEN[0] += 1
+        return F.lit(_CALL_GEN[0]).alias("_callgen")
+
 
 def release_dedup_caches() -> None:
     """Unpersist the cached intermediates of recent pair calls.
@@ -180,6 +198,7 @@ def ngram_jaccard_pairs(
         F.array_distinct(
             F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g))
         ).alias("grams"),
+        _call_salt(),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     ).withColumn("sz", F.size("grams"))
     # the gram arrays feed three consumers (prefix ranking + both verify
@@ -628,7 +647,7 @@ def minhash_lsh_pairs(
         )
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_n, seed, token_hash
-    ).persist()
+    ).withColumn("_callgen", _call_salt()).persist()
 
     # band bucket id: xxhash64 (8B shuffle payload, the at-scale default) or
     # md5 (32B, DuckDB-recomputable — the oracle-parity hook). ONE slice
@@ -748,7 +767,9 @@ def simhash_pairs(
     ≤ k differing bits shares at least one identical chunk, so banding has
     perfect recall for the requested ``max_hamming`` (capped at 16 chunks —
     beyond that candidate volume outweighs the recall gain at scale)."""
-    sigs = simhash_signatures(df, text_col, id_col, token_hash).persist()
+    sigs = simhash_signatures(df, text_col, id_col, token_hash).withColumn(
+        "_callgen", _call_salt()
+    ).persist()
     n_chunks = min(max_hamming + 1, 16)
     width = 64 // n_chunks
     # chunk i covers bits [i*width, (i+1)*width), last chunk takes the remainder
