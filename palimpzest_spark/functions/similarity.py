@@ -540,8 +540,17 @@ def _sem_topk_exact_arrow(
                     # greatest (NaN -> +inf here); ties fall to id ASC via
                     # the stable lexsort secondary key
                     simk = np.where(np.isnan(sim), np.inf, sim)
+                    kn = min(nk, N)
                     for t in range(m):
-                        order = np.lexsort((g_ids, -simk[t]))[: min(nk, N)]
+                        # O(N) top-k preselect: every row tied with the k-th
+                        # largest sim is kept, so the exact (sim DESC, id
+                        # ASC) order inside the candidate set is identical
+                        # to a full sort (r6: the full per-record lexsort of
+                        # the whole corpus dominated the kernel)
+                        row = simk[t]
+                        kth = np.partition(row, N - kn)[N - kn]
+                        cidx = np.nonzero(row >= kth)[0]
+                        order = cidx[np.lexsort((g_ids[cidx], -row[cidx]))][: kn]
                         ids_t = g_ids[order]
                         sims_t = sim[t, order]
                         nulls_t = np.zeros(len(order), dtype=bool)
@@ -590,7 +599,12 @@ def _sem_topk_exact_arrow(
             T.StructField("_sim", T.DoubleType(), True),
         ]
     )
-    return q.mapInArrow(kernel, schema=out_schema)
+    from palimpzest_spark.functions.layout import fan_out
+
+    # the records side of a tiny scan is 1-2 input splits — without a
+    # fan-out the whole kernel runs on one core (guide §2.5); adaptive, so
+    # a large well-partitioned records side is left untouched
+    return fan_out(q).mapInArrow(kernel, schema=out_schema)
 
 
 def sem_topk(
