@@ -59,8 +59,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # scale-adaptive scan fan-out (see functions/layout.py for the rationale:
-# single-row-group files cap scan parallelism at 1-2 tasks)
-from palimpzest_spark.functions.layout import fan_out as _fan_out  # noqa: E402
+# single-row-group files cap scan parallelism at 1-2 tasks). Dedup's
+# downstream work is interpreted shingling + per-gram hashing — heavy per
+# byte — so the fan-out pays from a few hundred KB up (layout.py note).
+from palimpzest_spark.functions.layout import fan_out as _fan_out_base  # noqa: E402
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    return _fan_out_base(df, min_bytes=64 * 1024)
 
 
 def word_shingles(col: str, n: int = 3) -> F.Column:

@@ -20,8 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+# Default size floor: below ~1 MB of (column-pruned, optimizer-estimated)
+# input even one core finishes LIGHT downstream work in well under a second,
+# so the repartition round-trip costs more than it saves (measured:
+# text_repetition_stats at sf0.1 ran 0.86s unfanned vs 1.18s fanned).
+# Operators whose per-byte CPU is heavy (interpreted shingling + per-gram
+# hashing: ~10x the cost of a line explode) pass a lower floor — for them
+# the fan-out already pays at a few hundred KB (measured: minhash at sf0.1
+# 1.8s fanned vs 3.7s unfanned). Absolute byte counts, not tuned to a core
+# count — any input where the choice matters is orders of magnitude bigger.
+_MIN_FAN_BYTES = 1 << 20
+
+
+def fan_out(df: DataFrame, min_bytes: int = _MIN_FAN_BYTES) -> DataFrame:
     try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if est < min_bytes:
+            return df
         target = df.sparkSession.sparkContext.defaultParallelism
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive (unusual plan shapes)
