@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 from palimpzest_spark.cdc.lake import META_COLS, SnapshotLakeTable
 from palimpzest_spark.cdc.reconcile import (
     align_to,
+    complex_misfit_expr,
     infer_payload_schema,
     reconcile_public_schema,
 )
@@ -141,13 +142,14 @@ def _anomaly_expr(table_public: T.StructType):
         # (a producer emitting real nested JSON evolves the schema to
         # array/struct) cannot be cast from string AT ALL — that's an
         # analysis-time error, not a NULL — so they re-parse the field's
-        # raw JSON text with from_json instead. Kept in lockstep with
-        # reconcile.schema_fits_probe (test_probe_agrees_with_anomaly_expr).
+        # raw JSON text via reconcile.complex_misfit_expr (shared with
+        # schema_fits_probe so the two gates cannot drift; includes the r6
+        # struct-drift array-wrap fix). Pinned by
+        # test_probe_agrees_with_anomaly_expr.
         if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
-            parsed = F.from_json(v, dt)
+            bads.append(complex_misfit_expr(v, dt))
         else:
-            parsed = v.try_cast(dt)
-        bads.append(v.isNotNull() & parsed.isNull())
+            bads.append(v.isNotNull() & v.try_cast(dt).isNull())
     from functools import reduce
 
     return (F.col("payload").isNotNull() & reduce(lambda a, b: a | b, bads)).cast("long")

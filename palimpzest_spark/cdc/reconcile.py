@@ -154,6 +154,43 @@ def align_to(df: DataFrame, target: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def complex_misfit_expr(raw, dt: T.DataType):
+    """Boolean Column: the raw JSON text of a COMPLEX-typed field provably
+    does NOT fit ``dt``. Shared by ``schema_fits_probe`` and
+    ``merge._anomaly_expr`` so the two gates cannot drift apart.
+
+    Array/Map: ``from_json`` returns NULL for drifted/malformed input —
+    ``parsed IS NULL`` is the signal. Struct (r6 ADVICE fix): ``from_json``
+    with a StructType NEVER returns NULL for malformed input — it returns
+    Row(null-fields) — so top-level drift like ``tool_args: 5`` passed
+    undetected and the steady decode silently nulled the field. Wrapping
+    the raw text as a one-element JSON array and parsing with
+    ``ArrayType(dt)`` restores the NULL signal for top-level drift; inner
+    drift (a JSON object none of whose keys match the struct) is flagged
+    when every parsed field is NULL while the raw text is not the JSON
+    null literal — conservative: a producer legitimately sending ``{}`` or
+    an all-null object is routed to the exact-inference path (correct,
+    just not free)."""
+    if isinstance(dt, T.StructType):
+        wrapped = F.from_json(F.concat(F.lit("["), raw, F.lit("]")), T.ArrayType(dt))
+        el = wrapped.getItem(0)
+        if dt.fields:
+            from functools import reduce
+
+            all_null = reduce(
+                lambda a, b: a & b, [el.getField(f.name).isNull() for f in dt.fields]
+            )
+        else:
+            all_null = F.lit(True)
+        return raw.isNotNull() & (
+            wrapped.isNull()
+            | el.isNull()
+            | (all_null & (F.trim(raw) != F.lit("null")))
+        )
+    parsed = F.from_json(raw, dt)
+    return raw.isNotNull() & parsed.isNull()
+
+
 def schema_fits_probe(
     batch: DataFrame, table_public: T.StructType | None, payload_col: str = "payload"
 ) -> bool:
@@ -200,12 +237,12 @@ def schema_fits_probe(
         # Column-API try_cast (no SQL-string interpolation — field names
         # with quotes/backticks must not break the expression); complex
         # types can't be cast from string at all, so they re-parse the
-        # field's raw JSON text with from_json (NULL = doesn't fit)
+        # field's raw JSON text (struct drift needs the array-wrap trick —
+        # see complex_misfit_expr)
         if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
-            parsed = F.from_json(raw, dt)
+            bad = complex_misfit_expr(raw, dt)
         else:
-            parsed = raw.try_cast(dt)
-        bad = raw.isNotNull() & parsed.isNull()
+            bad = raw.isNotNull() & raw.try_cast(dt).isNull()
         checks.append(F.sum(bad.cast("long")).alias(f"_bad_{name}"))
     row = nonnull.agg(*checks).collect()[0]
     return all((v or 0) == 0 for v in row)

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # --- exact dedup ---------------------------------------------------------------
 
@@ -185,7 +186,11 @@ def ngram_jaccard_pairs(
     within blocks.
     """
     narrow = _fan_out(
-        df.select(id_col, text_col, *([block_col] if block_col else []))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        )
     )
     # r6: grams are HASHED to 8-byte longs (xxhash64) right after shingling,
     # and every downstream stage — the document-frequency groupBy, the
@@ -199,14 +204,42 @@ def ngram_jaccard_pairs(
     # on every test SF). The rarity order's tie-break changes (hash order vs
     # lexicographic) — irrelevant for exactness: ANY consistent total order
     # satisfies the prefix lemma, and candidates only affect cost.
-    base = narrow.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g))
-        ).alias("grams"),
-        _call_salt(),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    ).withColumn("sz", F.size("grams"))
+    #
+    # r6b: the shingling + per-gram hash itself moved from interpreted JVM
+    # HOFs into the vectorized byte-level Arrow kernel (same values — the
+    # distinct SET of xxhash64(gram) longs — pinned by
+    # ``test_gram_kernel_matches_jvm``; see _minhash_signatures_jvm).
+    id_field = narrow.schema["id"]
+    out_fields = [
+        T.StructField("id", id_field.dataType, id_field.nullable),
+        T.StructField("grams", T.ArrayType(T.LongType(), True), False),
+    ]
+    if block_col:
+        blk_field = narrow.schema["blk"]
+        out_fields.append(
+            T.StructField("blk", blk_field.dataType, blk_field.nullable)
+        )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            extras = [batch.column(i) for i in range(2, batch.num_columns)]
+            vh, offs = _distinct_gram_hashes(batch.column(1), n, None)
+            grams = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(vh, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, grams, *extras], [f.name for f in out_fields]
+            )
+
+    base = (
+        narrow.mapInArrow(kernel, schema=T.StructType(out_fields))
+        .withColumn("_callgen", _call_salt())
+        .withColumn("sz", F.size("grams"))
+    )
     # the gram arrays feed three consumers (prefix ranking + both verify
     # sides); without a persist the shingling recomputes per consumer
     base = base.persist()
@@ -377,6 +410,238 @@ def _xxh64_int(value: np.uint64, seed: np.ndarray | np.uint64) -> np.ndarray:
         return h ^ (h >> r32)
 
 
+# --- vectorized byte-level shingle + hash kernel (r6) ---------------------------
+
+
+def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
+    rr = np.uint64(r)
+    return (x << rr) | (x >> (np.uint64(64) - rr))
+
+
+def _xxh64_bytes_fixed(m: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """XXH64 of every ROW of a (k, L) uint8 matrix, vectorized across rows —
+    the twin of Spark's ``XXH64.hashUnsafeBytes`` (the primitive behind
+    ``F.xxhash64`` on a STRING column; Spark's port follows the public
+    xxHash64 spec, little-endian words, verified bit-identical by
+    ``test_xxh64_bytes_matches_spark``)."""
+    k, L = m.shape
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the algorithm
+        i = 0
+        if L >= 32:
+            v = [
+                np.full(k, seed + _XXP1 + _XXP2, dtype=np.uint64),
+                np.full(k, seed + _XXP2, dtype=np.uint64),
+                np.full(k, seed, dtype=np.uint64),
+                np.full(k, seed - _XXP1, dtype=np.uint64),
+            ]
+            while i + 32 <= L:
+                for j in range(4):
+                    lane = (
+                        m[:, i + 8 * j : i + 8 * j + 8]
+                        .copy()
+                        .view("<u8")
+                        .reshape(k)
+                        .astype(np.uint64)
+                    )
+                    v[j] = _vrotl(v[j] + lane * _XXP2, 31) * _XXP1
+                i += 32
+            h = _vrotl(v[0], 1) + _vrotl(v[1], 7) + _vrotl(v[2], 12) + _vrotl(v[3], 18)
+            for j in range(4):
+                h = (h ^ (_vrotl(v[j] * _XXP2, 31) * _XXP1)) * _XXP1 + _XXP4
+        else:
+            h = np.full(k, seed + _XXP5, dtype=np.uint64)
+        h = h + np.uint64(L)
+        while i + 8 <= L:
+            k1 = m[:, i : i + 8].copy().view("<u8").reshape(k).astype(np.uint64)
+            h = _vrotl(h ^ (_vrotl(k1 * _XXP2, 31) * _XXP1), 27) * _XXP1 + _XXP4
+            i += 8
+        if i + 4 <= L:
+            k1 = m[:, i : i + 4].copy().view("<u4").reshape(k).astype(np.uint64)
+            h = _vrotl(h ^ (k1 * _XXP1), 23) * _XXP2 + _XXP3
+            i += 4
+        while i < L:
+            h = _vrotl(h ^ (m[:, i].astype(np.uint64) * _XXP5), 11) * _XXP1
+            i += 1
+        h ^= h >> np.uint64(33)
+        h *= _XXP2
+        h ^= h >> np.uint64(29)
+        h *= _XXP3
+        return h ^ (h >> np.uint64(32))
+
+
+def _xxh64_bytes_varlen(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: np.uint64
+) -> np.ndarray:
+    """XXH64 of n byte-slices of ``buf`` — groups slices by length and runs
+    the fixed-length row kernel per group (gram lengths cluster on a few
+    dozen values, so each group is one wide vectorized pass)."""
+    n = len(lens)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    order = np.argsort(lens, kind="stable")
+    sl = lens[order]
+    bounds = np.flatnonzero(np.diff(sl)) + 1
+    for grp in np.split(order, bounds):
+        L = int(lens[grp[0]])
+        if L == 0:
+            out[grp] = _xxh64_bytes_fixed(np.empty((len(grp), 0), dtype=np.uint8), seed)
+            continue
+        pos = starts[grp][:, None] + np.arange(L, dtype=np.int64)[None, :]
+        out[grp] = _xxh64_bytes_fixed(buf[pos], seed)
+    return out
+
+
+def _gram_spans(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Byte-level twin of ``word_shingles``'s tokenize+join, vectorized over
+    a whole batch: UTF-8 text buffer + per-doc [start,end) spans →
+    (normalized buffer, gram start, gram len, doc-of-gram).
+
+    Semantics mirror the JVM expression chain exactly (pinned by
+    ``test_gram_kernel_matches_jvm``): ``F.trim`` strips 0x20 only; Java
+    ``\\s`` is the ASCII class [ \\t\\n\\x0B\\f\\r] (UTF-8 multi-byte
+    sequences never contain ASCII bytes, so byte-level splitting is exact);
+    split keeps leading/trailing empty tokens (limit -1); the normalized
+    buffer is the trimmed text with every whitespace run collapsed to one
+    0x20, so gram g of doc d is a contiguous SLICE — token windows joined
+    by ' ' with no per-gram string building. k = max(n_tok - n + 1, 1)
+    grams per doc (short docs emit one gram spanning all tokens)."""
+    nd = len(starts)
+    # trim 0x20 at both ends
+    ns_idx = np.flatnonzero(data != 32)
+    if ns_idx.size:
+        lo = np.searchsorted(ns_idx, starts)
+        hi = np.searchsorted(ns_idx, ends)
+        empty = lo >= hi
+        t_start = np.where(empty, starts, ns_idx[np.minimum(lo, ns_idx.size - 1)])
+        t_end = np.where(empty, starts, ns_idx[np.maximum(hi - 1, 0)] + 1)
+    else:
+        empty = np.ones(nd, dtype=bool)
+        t_start = t_end = starts
+    # whitespace runs (Java \s = ASCII [ \t\n\x0B\f\r])
+    ws = (
+        (data == 32) | (data == 9) | (data == 10)
+        | (data == 11) | (data == 12) | (data == 13)
+    )
+    prev_ws = np.empty_like(ws)
+    if ws.size:
+        prev_ws[0] = False
+        prev_ws[1:] = ws[:-1]
+    run_start = ws & ~prev_ws
+    # membership mask for the trimmed doc bodies
+    delta = np.zeros(len(data) + 1, dtype=np.int32)
+    np.add.at(delta, t_start, 1)
+    np.add.at(delta, t_end, -1)
+    region = np.cumsum(delta[:-1]) > 0
+    keep_ws = run_start
+    # a ws byte AT a region start is always its run's kept byte (the run may
+    # have begun in trimmed-off spaces or the previous doc's bytes)
+    rs = t_start[~empty]
+    if rs.size:
+        rs = rs[ws[rs]]
+        keep_ws = keep_ws.copy()
+        keep_ws[rs] = True
+    final_keep = region & (~ws | keep_ws)
+    norm = data[final_keep].copy()
+    norm[ws[final_keep]] = 32  # every kept separator byte becomes ' '
+    # per-doc offsets into the normalized buffer
+    K = np.concatenate(([0], np.cumsum(final_keep)))
+    norm_start = K[t_start]
+    norm_end = K[t_end]
+    # token boundaries: every 0x20 in norm is a separator
+    sep = np.flatnonzero(norm == 32)
+    if sep.size:
+        n_sep = np.searchsorted(sep, norm_end) - np.searchsorted(sep, norm_start)
+    else:
+        n_sep = np.zeros(nd, dtype=np.int64)
+    n_tok = n_sep + 1
+    tok_base = np.concatenate(([0], np.cumsum(n_tok)))
+    tok_start = np.empty(tok_base[-1], dtype=np.int64)
+    tok_end = np.empty(tok_base[-1], dtype=np.int64)
+    tok_start[tok_base[:-1]] = norm_start
+    tok_end[tok_base[1:] - 1] = norm_end
+    if sep.size:
+        doc_of_sep = np.searchsorted(norm_start, sep, side="right") - 1
+        sep_base = np.concatenate(([0], np.cumsum(n_sep)))
+        slot = tok_base[doc_of_sep] + (np.arange(sep.size) - sep_base[doc_of_sep])
+        tok_end[slot] = sep
+        tok_start[slot + 1] = sep + 1
+    # gram spans
+    k_d = np.maximum(n_tok - n + 1, 1)
+    gram_base = np.concatenate(([0], np.cumsum(k_d)))
+    doc_of_gram = np.repeat(np.arange(nd), k_d)
+    g_local = np.arange(gram_base[-1]) - gram_base[doc_of_gram]
+    g_start = tok_start[tok_base[doc_of_gram] + g_local]
+    last_tok = np.minimum(g_local + n - 1, n_tok[doc_of_gram] - 1)
+    g_end = tok_end[tok_base[doc_of_gram] + last_tok]
+    return norm, g_start, g_end - g_start, doc_of_gram
+
+
+def _distinct_gram_hashes(
+    arr, n: int, fold_int_seed: int | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row DISTINCT gram-hash sets of an Arrow string array, as
+    (values int64, row offsets int64).
+
+    Value semantics are EXACTLY the r5/r6 JVM expression
+    ``array_distinct(transform(word_shingles(text, n), g -> xxhash64(g)))``
+    (single-arg when ``fold_int_seed`` is None) or the minhash form
+    ``xxhash64(g, lit(seed))`` — the distinct SET of hash values is the
+    same mathematical object whether distinctness is taken over gram
+    strings or over their hashes. NULL text mirrors the JVM fold: the
+    shingle chain yields one NULL gram and ``xxhash64(NULL[, lit])``
+    skips null children (hash stays at the default seed 42)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_rows = len(arr)
+    if n_rows == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+    nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    if nulls.any():
+        arr = pc.fill_null(arr, "")
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + n_rows + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    norm, g_start, g_len, dog = _gram_spans(data, off[:-1], off[1:], n)
+    h = _xxh64_bytes_varlen(norm, g_start, g_len, np.uint64(42))
+    if fold_int_seed is not None:
+        h = _xxh64_int(np.uint64(fold_int_seed), h)
+    hi = h.view(np.int64)
+    # distinct per doc: sort (doc, hash), mask firsts
+    order = np.lexsort((hi, dog))
+    sd, sh = dog[order], hi[order]
+    keep = np.empty(len(sd), dtype=bool)
+    if len(sd):
+        keep[0] = True
+        keep[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+    vd, vh = sd[keep], sh[keep]
+    offsets = np.concatenate(
+        ([0], np.cumsum(np.bincount(vd, minlength=n_rows)))
+    )
+    if nulls.any():
+        # a NULL text row has exactly one gram slot (the filled "" emits one
+        # gram); overwrite it with the JVM's null-fold value
+        null_val = np.uint64(42)
+        if fold_int_seed is not None:
+            null_val = _xxh64_int(
+                np.uint64(fold_int_seed), np.full(1, 42, dtype=np.uint64)
+            )[0]
+        vh = vh.copy()
+        vh[offsets[:-1][nulls]] = np.int64(np.array([null_val]).view(np.int64)[0])
+    return vh, offsets
+
+
 def _minhash_signatures_jvm(
     df: DataFrame,
     text_col: str,
@@ -385,74 +650,49 @@ def _minhash_signatures_jvm(
     shingle_n: int,
     seed: int,
 ) -> DataFrame:
-    """(id, signature: array<long>) — JVM string hashing + one Arrow stage
-    for the permutation rehash.
+    """(id, signature: array<long>) — ONE fused Arrow stage: vectorized
+    byte-level shingling + xxhash64 + the permutation rehash.
 
-    The at-scale default tier: each gram string is hashed ONCE with
-    ``xxhash64`` in the JVM (cost proportional to string length — the only
-    work that has to touch the text), and the ``num_perm`` permutations are
-    derived by REHASHING that 8-byte long with the permutation ordinal —
-    ``xxhash64(h, i)`` — followed by a per-document min.
+    The at-scale default tier (the "jvm" name means the xxhash64 value
+    family, bit-identical to the JVM expression chain — r6b moved the
+    COMPUTATION out of the JVM, the VALUES are pinned unchanged). History:
+    the r4/r5 pure-JVM ``array_min(transform(_gh, h -> xxhash64(h, i)))``
+    form paid ~64 interpreted CodegenFallback passes per row (77.6s
+    driver-measured at sf1.0); r6 moved the rehash into numpy; r6b moves
+    the remaining interpreted HOF work — gram-string building
+    (``array_join(slice(...))``) and the per-gram string hash — into the
+    same Arrow stage as fully-vectorized byte-level numpy
+    (``_gram_spans`` + ``_xxh64_bytes_varlen``: whitespace-run collapse
+    over the raw UTF-8 buffer, gram = slice of the normalized buffer,
+    hash = the spec XXH64 grouped by gram length). Zero per-token Python,
+    zero interpreted JVM HOFs; only (id, text) crosses the boundary once.
 
-    The rehash+min lives in a single ``mapInArrow`` stage (r6): Catalyst
-    higher-order functions are CodegenFallback — interpreted per element,
-    one fresh array per permutation — so the r4/r5 pure-JVM
-    ``array_min(transform(_gh, h -> xxhash64(h, i)))`` form paid ~64
-    interpreted passes per row and dominated the sf1.0 bench (77.6s
-    driver-measured for ``dedup_minhash_docs``). Here the flattened gram
-    hashes cross into numpy ONCE (8 bytes/gram) and the 64 rehash+min
-    passes are ~12 vectorized uint64 ops each over the whole batch. The
-    numpy rehash (``_xxh64_long``) is a bit-identical twin of the JVM
-    xxhash64 fold, so the signature VALUES are unchanged from r5
-    (pinned by ``test_minhash_jvm_rehash_bit_identical``).
+    Equivalence: signatures are bit-identical to the r5 HOF expression —
+    ``test_minhash_jvm_rehash_bit_identical`` (values) and
+    ``test_gram_kernel_matches_jvm`` (tokenizer/hash parity incl. tab/
+    unicode-whitespace/empty/null edges) pin it; the md5 oracle tier and
+    the banding/verify stages are untouched.
 
-    Plan-shape points:
-    - the gram array and the once-hashed long array live in their own
-      projections; Catalyst's CollapseProject will NOT inline an expensive
-      expression referenced downstream, so shingling/string-hash work is
-      evaluated once per row (verified via explain in tests);
-    - only (id, _gh) flow into the Arrow stage — an explicit select keeps
-      the text column out of the Python crossing (guide §4.1);
-    - ``xxhash64(h, i)`` as the permutation family: not algebraically
-      universal, but an avalanche mixer, which is what the banding model
-      P(candidate)=1-(1-s^r)^b actually assumes; deterministic across
-      processes/JVMs (unlike builtin hash()).
-
-    Measured alternatives (sf0.1/sf1.0, local[32]) before this shape:
-    (a) explode→hash-aggregate (64 codegen ``min`` aggs over exploded gram
-    rows, zero HOFs): ~30% slower than the HOF form — the explode + groupBy
-    shuffle costs more than HOF interpretation saves. (b) the crc32 numpy
-    ``mapInPandas`` tier: within noise of the HOF form — its per-token
-    Python hashing loop eats the vectorization win. (c) this hybrid:
-    string-hash stays in codegen, only fixed-width arithmetic crosses.
+    ``xxhash64(h, i)`` as the permutation family: not algebraically
+    universal, but an avalanche mixer, which is what the banding model
+    P(candidate)=1-(1-s^r)^b actually assumes; deterministic across
+    processes/JVMs (unlike builtin hash()).
     """
-    grams = word_shingles("_t", shingle_n)
     base = _fan_out(
         df.select(
             F.col(id_col).alias("id"),
             F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
         )
-    ).select("id", grams.alias("_grams"))
-    hashed = base.select(
-        "id",
-        F.transform("_grams", lambda g: F.xxhash64(g, F.lit(seed))).alias("_gh"),
     )
 
-    # per-permutation constant: rotl(i * P2, 31) * P1 (the input-dependent
-    # half of hashLong(i, seed) — seed varies per gram, input i is fixed)
     iv = np.arange(num_perm, dtype=np.uint64)
     seed42 = np.uint64(42)
 
-    def rehash(batches):
+    def kernel(batches):
         import pyarrow as pa
-
-        import pyarrow.compute as pc
 
         for batch in batches:
             ids = batch.column(0)
-            gh = batch.column(1)
-            lens = pc.list_value_length(gh).to_numpy(zero_copy_only=False).astype(np.int64)
-            vals = gh.flatten().to_numpy(zero_copy_only=False)
             n_docs = len(ids)
             if n_docs == 0:
                 yield pa.RecordBatch.from_arrays(
@@ -460,38 +700,26 @@ def _minhash_signatures_jvm(
                     ["id", "signature"],
                 )
                 continue
-            h = vals.view(np.uint64) if vals.dtype == np.int64 else vals.astype(np.uint64)
-            # inner chain: xxhash64(gram_string, lit(seed)) already ran in the
-            # JVM; F.xxhash64(h, lit(i)) folds as hashLong(i, hashLong(h, 42))
-            h2 = _xxh64_long(h, seed42)
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            nz = lens > 0
+            vh, offs = _distinct_gram_hashes(batch.column(1), shingle_n, seed)
+            # every row emits >= 1 gram (word_shingles semantics), so every
+            # reduceat segment is non-empty
+            h2 = _xxh64_long(vh.view(np.uint64), seed42)
+            starts = offs[:-1]
             sig = np.empty((n_docs, num_perm), dtype=np.int64)
             for i in range(num_perm):
-                permed = _xxh64_int(iv[i], h2).view(np.int64)
-                if nz.all():
-                    sig[:, i] = np.minimum.reduceat(permed, starts)
-                else:
-                    sig[nz, i] = np.minimum.reduceat(permed, starts[nz])
-            if nz.all():
-                offsets = np.concatenate(([0], np.arange(1, n_docs + 1) * num_perm))
-                out = pa.ListArray.from_arrays(
-                    pa.array(offsets, type=pa.int32()),
-                    pa.array(sig.reshape(-1), type=pa.int64()),
+                sig[:, i] = np.minimum.reduceat(
+                    _xxh64_int(iv[i], h2).view(np.int64), starts
                 )
-            else:
-                # a 0-gram row cannot occur via word_shingles (it emits >= 1
-                # gram even for empty text) but mirror array_min-of-empty ->
-                # NULL signature elements for robustness
-                rows = [
-                    sig[j].tolist() if nz[j] else [None] * num_perm
-                    for j in range(n_docs)
-                ]
-                out = pa.array(rows, type=pa.list_(pa.int64()))
+            out = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(n_docs + 1, dtype=np.int64) * num_perm,
+                    type=pa.int32(),
+                ),
+                pa.array(sig.reshape(-1), type=pa.int64()),
+            )
             yield pa.RecordBatch.from_arrays([ids, out], ["id", "signature"])
 
-    return hashed.mapInArrow(rehash, schema="id long, signature array<long>")
+    return base.mapInArrow(kernel, schema="id long, signature array<long>")
 
 
 def minhash_signatures(
@@ -647,7 +875,7 @@ def minhash_lsh_pairs(
         )
     if num_perm % bands:
         raise ValueError(
-            f"num_perm ({num_perm}) must divide evenly into bands ({bands}) "
+            f"bands ({bands}) must divide evenly into num_perm ({num_perm}) "
             f"— the trailing {num_perm % bands} permutations would be "
             f"silently ignored by the banding"
         )

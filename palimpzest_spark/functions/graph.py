@@ -34,6 +34,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+# Edge count below which connected components runs as in-process union-find
+# on the collected edge list (bounded driver work, the same discipline as a
+# broadcast-join build side: 1M edges = ~16MB of key pairs). Above it, the
+# distributed rounds run. Overridable for tests/unusual deployments.
+_SMALL_GRAPH_EDGES = int(
+    __import__("os").environ.get("PZ_CC_SMALL_GRAPH_EDGES", 1_000_000)
+)
 
 
 def connected_components(
@@ -69,14 +78,64 @@ def connected_components(
     # Materialize the edge list ONCE before symmetrizing: the union reads
     # ``e`` twice, so a lazy plan would execute the (often expensive)
     # upstream pair-generation twice in the same job — at sf1.0 the curation
-    # pipeline's prefix-join ran double until this checkpoint (r6). The
-    # checkpoint stores only (src, dst) rows, the cheapest possible form of
-    # the input, and truncates the upstream lineage for every later round.
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
-        eager=True
-    )
+    # pipeline's prefix-join ran double until this materialization (r6).
+    # r6b: persist + count instead of an eager localCheckpoint — the
+    # checkpoint's RDD materialization bypasses the AQE-planned SQL path and
+    # measured 3-6x slower than the same plan through a normal action (7-14s
+    # vs ~2s for the sf1.0 curation pair pipeline); the count() action runs
+    # the plan once through the SQL engine into the cache, and doubles as
+    # the small-graph-tier gate.
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
+    n_edges = e.count()
+    # Small-graph tier (r6b, guide §1.2 — fit the algorithm to the data):
+    # near-dup edge sets are routinely TINY relative to the corpus (sf1.0
+    # curation: 642 pairs from 25k docs), yet every label-propagation round
+    # pays full fixed job cost — two actions (checkpoint + checksum) and a
+    # shuffle each, measured 8-16s of pure per-round overhead for a
+    # sub-thousand-edge graph. When the checkpointed edge list is small
+    # (counting it is a metadata-cheap job on the materialized checkpoint),
+    # collect the (s, d) pairs — bounded exactly like a broadcast-join build
+    # side, far below driver limits — run union-find in-process, and return
+    # the labels as a local DataFrame. Identical output by construction:
+    # component = min node id in the connected component, the same fixpoint
+    # the distributed rounds converge to (pinned by
+    # tests/test_graph.py::test_small_tier_matches_distributed).
+    if n_edges <= _SMALL_GRAPH_EDGES:
+        node_t = e.schema["s"].dataType
+        rows = e.collect()
+        e.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while x != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            s_, d_ = r["s"], r["d"]
+            for v in (s_, d_):
+                if v not in parent:
+                    parent[v] = v
+            rs, rd = find(s_), find(d_)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        roots = {v: find(v) for v in parent}
+        for v, rt in roots.items():
+            m = comp_min.get(rt)
+            if m is None or v < m:
+                comp_min[rt] = v
+        out_schema = StructType(
+            [StructField("node", node_t, True), StructField("component", node_t, True)]
+        )
+        data = [(v, comp_min[rt]) for v, rt in roots.items()]
+        return edges.sparkSession.createDataFrame(data, out_schema)
     # Symmetrize once; propagation along both directions makes min-labels
-    # flow through the whole component.
+    # flow through the whole component (both union branches read the
+    # persisted ``e`` from cache).
     sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.distinct().persist()
 
@@ -114,9 +173,11 @@ def connected_components(
         cur = checksum(labels)
         if cur == prev:
             sym.unpersist()
+            e.unpersist()
             return labels
         prev = cur
     sym.unpersist()
+    e.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)"

@@ -166,10 +166,15 @@ def _hadoop_read_text(spark, path: str) -> str:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(p)
     try:
-        # IOUtils drains the stream fully (read() alone returns one byte)
-        return bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        ).decode("utf-8")
+        # drain via Hadoop's own IOUtils.copyBytes into a JDK
+        # ByteArrayOutputStream (py4j copies byte[] RETURN values back to
+        # Python, while byte[] ARGUMENTS are pass-by-value — a readFully
+        # into a Python bytearray would silently stay zeroed). commons-io
+        # ships with today's Spark distros but is a transitive dependency,
+        # not a contract (r6 ADVICE) — only guaranteed classes here.
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
     finally:
         stream.close()
 

@@ -152,13 +152,16 @@ def running_max_by_key(
             best_value, best_seq, n_seen = float("-inf"), -1, 0
         for pdf in pdfs:
             n_seen += len(pdf)
-            vals = pdf[value_col].dropna()
-            if not len(vals):
-                continue  # all-null microbatch for this key: nothing to rank
-            i = vals.idxmax()
-            if vals.loc[i] > best_value:
-                best_value = float(vals.loc[i])
-                best_seq = int(pdf[seq_col].loc[i])
+            # drop rows where EITHER column is null: a NaN seq on the row
+            # holding the max value would crash int(NaN) just like the
+            # value-null case this guard fixed first (r6 ADVICE)
+            ok = pdf[[value_col, seq_col]].dropna()
+            if not len(ok):
+                continue  # no fully-populated row in this microbatch
+            i = ok[value_col].idxmax()
+            if ok[value_col].loc[i] > best_value:
+                best_value = float(ok[value_col].loc[i])
+                best_seq = int(ok[seq_col].loc[i])
         state.update((best_value, best_seq, n_seen))
         yield pd.DataFrame(
             {

@@ -1324,6 +1324,16 @@ def test_probe_agrees_with_anomaly_expr(spark):
         ('{"conv_id": "c1", "turn_idx": "zz"}', False),   # type drift
         ('{"conv_id": "c1", "extra": 1}', False),          # unknown key
         (None, True),                 # payload-less event (delete): fits
+        # r6 ADVICE fix — STRUCT drift: from_json with a StructType returns
+        # Row(null-fields), never NULL, so these passed undetected and the
+        # steady decode silently nulled the field
+        ('{"conv_id": "c1", "turn_idx": 3, "tool_args": 5}', False),
+        ('{"conv_id": "c1", "turn_idx": 3, "tool_args": "zz"}', False),
+        ('{"conv_id": "c1", "turn_idx": 3, "tool_args": [1]}', False),
+        # inner drift: object with no matching struct key -> all-null parse
+        ('{"conv_id": "c1", "turn_idx": 3, "tool_args": {"zz": 1}}', False),
+        # JSON null for the struct field: absent value, fits
+        ('{"conv_id": "c1", "turn_idx": 3, "tool_args": null}', True),
     ]
     for payload, fits in cases:
         b = spark.createDataFrame([(payload,)], "payload string")

@@ -110,18 +110,17 @@ def test_minhash_jvm_plan_hashes_grams_once(spark, docs):
     # parquet-backed source: a LocalRelation fixture would be constant-folded
     # by ConvertToLocalRelation, leaving no projects to inspect
     pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    sigs = dedup.minhash_signatures(pq)  # default tier = jvm string hash + Arrow rehash
+    sigs = dedup.minhash_signatures(pq)  # default tier = fused Arrow kernel
     plan = sigs._jdf.queryExecution().optimizedPlan().toString()
-    # the shingle builder (array_join over slices) appears once, not 64x
-    assert plan.count("array_join") == 1, plan
-    assert plan.count("split(") <= 2, plan  # split + maybe size-guard, never 64
+    # r6b: NO interpreted HOF shingling left in the JVM plan at all — the
+    # tokenize/gram/hash/rehash chain is one vectorized Arrow kernel
+    assert "array_join" not in plan, plan
+    assert plan.count("split(") == 0, plan
 
-    # exactly one Python crossing (the rehash mapInArrow), nothing else —
-    # the string->long gram hash itself must stay in the JVM projection
+    # exactly one Python crossing (the fused kernel), nothing else
     phys = sigs._jdf.queryExecution().executedPlan().toString()
     assert phys.count("MapInArrow") == 1, phys
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys
-    assert "xxhash64" in plan.lower(), plan
 
 
 def test_minhash_tiers_agree_on_dup_structure(spark, docs):

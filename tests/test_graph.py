@@ -72,7 +72,12 @@ def test_components_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
-def test_components_max_iter_raises(spark):
+def test_components_max_iter_raises(spark, monkeypatch):
+    # the round budget is a property of the DISTRIBUTED propagation tier;
+    # force it (r6b's small-graph union-find tier has no iteration count)
+    from palimpzest_spark.functions import graph
+
+    monkeypatch.setattr(graph, "_SMALL_GRAPH_EDGES", 0)
     chain = [(i, i + 1) for i in range(12)]
     df = spark.createDataFrame(chain, ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
@@ -135,3 +140,32 @@ def test_star_random_graph_matches_minlabel(spark):
     b = {(r["node"], r["component"])
          for r in connected_components(df, algorithm="minlabel").collect()}
     assert a == b
+
+
+def test_small_tier_matches_distributed(spark, monkeypatch):
+    """The r6b in-process union-find tier (edge count <= threshold) emits
+    exactly the labels of the distributed min-label rounds — random graphs,
+    long ids and string ids, including self-loops and duplicate edges."""
+    import random
+
+    from palimpzest_spark.functions import graph
+
+    rnd = random.Random(11)
+    for trial in range(3):
+        edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(250)]
+        edges += [(5, 5), (7, 7)] + edges[:10]  # self-loops + dups
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        small = {(r["node"], r["component"])
+                 for r in connected_components(df).collect()}
+        monkeypatch.setattr(graph, "_SMALL_GRAPH_EDGES", 0)
+        big = {(r["node"], r["component"])
+               for r in connected_components(df).collect()}
+        monkeypatch.setattr(graph, "_SMALL_GRAPH_EDGES", 1_000_000)
+        assert small == big
+
+    sdf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "q")], ["id_a", "id_b"]
+    )
+    small = {(r["node"], r["component"]) for r in connected_components(sdf).collect()}
+    assert small == {("a", "a"), ("b", "a"), ("c", "a"),
+                     ("x", "x"), ("y", "x"), ("q", "q")}

@@ -272,3 +272,100 @@ def test_sem_topk_exact_arrow_matches_jvm_join(spark):
             e["body"] == ("ragged" if e["id"] == 40 else f"doc {e['id']}")
             for e in lst
         )
+
+
+# --- r6b: fully-vectorized byte-level shingle+hash kernel ---------------------
+
+_EDGE_TEXTS = [
+    (900001, ""),
+    (900002, None),
+    (900003, "one"),
+    (900004, "a  b\t c\nd   e"),
+    (900005, "x " * 500),
+    (900006, " \t lead"),
+    (900007, "trail \t "),
+    (900008, "\t\t"),
+    (900009, "   "),
+    (900010, " nbsp is a token char"),
+    (900011, "multi line unicode separators stay"),
+    (900012, "a\x0bb\x0cc\rd\ne f"),
+    (900013, "héllo wörld ünïcode tokens"),
+    (900014, "多 字 节 的 文 本"),
+    (900015, "\ta"),
+    (900016, "a\t"),
+]
+
+
+def test_xxh64_bytes_matches_spark(spark):
+    """The numpy byte-hash kernel is a bit-exact twin of Spark's xxhash64
+    over STRING columns — single-arg and with a trailing int-literal fold —
+    across lengths 0..70+ and multi-byte UTF-8."""
+    import random
+
+    from palimpzest_spark.functions.dedup import (
+        _xxh64_bytes_varlen,
+        _xxh64_int,
+    )
+
+    random.seed(0)
+    strs = []
+    for length in list(range(0, 70)) + [100, 255]:
+        for _ in range(3):
+            strs.append(
+                "".join(random.choice("abß嗨 xyz09\t~") for _ in range(length))
+            )
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "i long, s string")
+    got = (
+        df.select("i", F.xxhash64("s").alias("h1"), F.xxhash64("s", F.lit(42)).alias("h2"))
+        .orderBy("i")
+        .collect()
+    )
+    bts = [s.encode("utf-8") for s in strs]
+    lens = np.array([len(b) for b in bts], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    buf = np.frombuffer(b"".join(bts), dtype=np.uint8)
+    h1 = _xxh64_bytes_varlen(buf, offs, lens, np.uint64(42))
+    h2 = _xxh64_int(np.uint64(42), h1)
+    assert (h1.view(np.int64) == np.array([r["h1"] for r in got])).all()
+    assert (h2.view(np.int64) == np.array([r["h2"] for r in got])).all()
+
+
+@pytest.mark.parametrize("fold_seed", [None, 42, 7])
+def test_gram_kernel_matches_jvm(spark, fold_seed):
+    """The byte-level tokenize+gram+hash kernel emits exactly the distinct
+    hash SET of the JVM expression chain
+    ``array_distinct(transform(word_shingles(text), g -> xxhash64(g[, lit])))``
+    for real docs plus whitespace/unicode/null edges, for n in {2,3,5}."""
+    import pyarrow as pa
+
+    from palimpzest_spark.functions.dedup import _distinct_gram_hashes
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    edge = spark.createDataFrame(_EDGE_TEXTS, "doc_id long, text string")
+    full = docs.select("doc_id", "text").unionByName(edge)
+    pdf = full.orderBy("doc_id").toPandas()
+    for n in (2, 3, 5):
+        hash_expr = (
+            (lambda g: F.xxhash64(g))
+            if fold_seed is None
+            else (lambda g: F.xxhash64(g, F.lit(fold_seed)))
+        )
+        jvm = (
+            full.select(
+                "doc_id",
+                F.array_distinct(
+                    F.transform(word_shingles("text", n), hash_expr)
+                ).alias("grams"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        arr = pa.array(pdf["text"].tolist(), type=pa.string())
+        vh, offs = _distinct_gram_hashes(arr, n, fold_seed)
+        assert len(jvm) == len(offs) - 1
+        for i, row in enumerate(jvm):
+            mine = sorted(vh[offs[i] : offs[i + 1]].tolist())
+            theirs = sorted(row["grams"])
+            assert mine == theirs, (
+                f"n={n} fold={fold_seed} doc {row['doc_id']}: {mine[:5]} != {theirs[:5]}"
+            )
