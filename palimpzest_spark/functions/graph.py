@@ -92,9 +92,9 @@ def connected_components(
     # curation: 642 pairs from 25k docs), yet every label-propagation round
     # pays full fixed job cost — two actions (checkpoint + checksum) and a
     # shuffle each, measured 8-16s of pure per-round overhead for a
-    # sub-thousand-edge graph. When the checkpointed edge list is small
-    # (counting it is a metadata-cheap job on the materialized checkpoint),
-    # collect the (s, d) pairs — bounded exactly like a broadcast-join build
+    # sub-thousand-edge graph. When the persisted edge list is small (the
+    # gate count above already materialized it into the cache), collect the
+    # (s, d) pairs — bounded exactly like a broadcast-join build
     # side, far below driver limits — run union-find in-process, and return
     # the labels as a local DataFrame. Identical output by construction:
     # component = min node id in the connected component, the same fixpoint

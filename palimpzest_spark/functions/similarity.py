@@ -521,18 +521,25 @@ def _sem_topk_exact_arrow(
                     Qc = Q[s0 : s0 + chunk]
                     rows = grows[s0 : s0 + chunk]
                     m = len(Qc)
-                    acc = np.zeros((m, N), dtype=np.float64)
+                    Qa = Qc if prod_f32 else Qc.astype(np.float64)
+                    Ca = C if prod_f32 else C.astype(np.float64)
+                    # corpus-axis tiling keeps the f64 accumulator tile
+                    # cache-resident across the L sequential-dim passes —
+                    # 2.4x over accumulating into the full (m x N) matrix
+                    # (measured 2.1s -> 0.86s at 207x20k x64), with the
+                    # per-element op order (and therefore every IEEE sum)
+                    # unchanged: each (record, corpus) accumulator still
+                    # adds dims 0..L-1 sequentially in float64.
+                    acc = np.empty((m, N), dtype=np.float64)
+                    for c0 in range(0, N, 2048):
+                        c1 = min(c0 + 2048, N)
+                        tile = np.zeros((m, c1 - c0), dtype=np.float64)
+                        for j in range(L):
+                            tile += Qa[:, j][:, None] * Ca[c0:c1, j][None, :]
+                        acc[:, c0:c1] = tile
                     accq = np.zeros(m, dtype=np.float64)
-                    if prod_f32:
-                        for j in range(L):
-                            acc += Qc[:, j][:, None] * C[:, j][None, :]
-                            accq += Qc[:, j] * Qc[:, j]
-                    else:
-                        Q64 = Qc.astype(np.float64)
-                        C64 = C.astype(np.float64)
-                        for j in range(L):
-                            acc += Q64[:, j][:, None] * C64[:, j][None, :]
-                            accq += Q64[:, j] * Q64[:, j]
+                    for j in range(L):
+                        accq += Qa[:, j] * Qa[:, j]
                     qn = np.sqrt(accq)
                     with np.errstate(divide="ignore", invalid="ignore"):
                         sim = acc / (qn[:, None] * c_norm[None, :])
@@ -603,8 +610,11 @@ def _sem_topk_exact_arrow(
 
     # the records side of a tiny scan is 1-2 input splits — without a
     # fan-out the whole kernel runs on one core (guide §2.5); adaptive, so
-    # a large well-partitioned records side is left untouched
-    return fan_out(q).mapInArrow(kernel, schema=out_schema)
+    # a large well-partitioned records side is left untouched. The floor is
+    # the LOWEST in the repo (4KB ~ a dozen records): per-record work is
+    # O(|corpus| x dim) — at 20k x 64 a 55KB records side cost 1.8s on one
+    # task, by far the heaviest per-byte operator behind any fan-out.
+    return fan_out(q, min_bytes=4096).mapInArrow(kernel, schema=out_schema)
 
 
 def sem_topk(

@@ -369,3 +369,4 @@ def test_gram_kernel_matches_jvm(spark, fold_seed):
             assert mine == theirs, (
                 f"n={n} fold={fold_seed} doc {row['doc_id']}: {mine[:5]} != {theirs[:5]}"
             )
+
