@@ -67,7 +67,9 @@ from palimpzest_spark.functions.layout import fan_out as _fan_out_base  # noqa: 
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    return _fan_out_base(df, min_bytes=64 * 1024)
+    # per_task_bytes: the consumers are Arrow kernels — cap width so each
+    # Python-worker round trip carries a real batch (see layout.fan_out)
+    return _fan_out_base(df, min_bytes=64 * 1024, per_task_bytes=64 * 1024)
 
 
 def word_shingles(col: str, n: int = 3) -> F.Column:

@@ -32,12 +32,25 @@ from pyspark.sql import DataFrame
 _MIN_FAN_BYTES = 1 << 20
 
 
-def fan_out(df: DataFrame, min_bytes: int = _MIN_FAN_BYTES) -> DataFrame:
+def fan_out(
+    df: DataFrame, min_bytes: int = _MIN_FAN_BYTES, per_task_bytes: int | None = None
+) -> DataFrame:
+    """``per_task_bytes`` (opt-in, for ARROW-kernel consumers): cap the
+    fan-out width so every task carries at least that much input. A Python
+    worker round trip costs ~5-10ms per task regardless of batch size, so
+    fanning a small input to default.parallelism (4x cores) drowns the
+    kernel in fixed overhead — at sf0.1 the dedup gram kernel ran 128
+    ~20-doc tasks for ~1s of pure worker cost vs ~0.35s capped. JVM-side
+    consumers (regex/explode stages) keep the uncapped width: their
+    per-task cost is microseconds and extra slices only help stragglers.
+    At real scale the estimate is huge and the cap is inactive."""
     try:
         est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
         if est < min_bytes:
             return df
         target = df.sparkSession.sparkContext.defaultParallelism
+        if per_task_bytes:
+            target = min(target, max(est // per_task_bytes, 1))
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive (unusual plan shapes)
         return df

@@ -610,11 +610,19 @@ def _sem_topk_exact_arrow(
 
     # the records side of a tiny scan is 1-2 input splits — without a
     # fan-out the whole kernel runs on one core (guide §2.5); adaptive, so
-    # a large well-partitioned records side is left untouched. The floor is
-    # the LOWEST in the repo (4KB ~ a dozen records): per-record work is
-    # O(|corpus| x dim) — at 20k x 64 a 55KB records side cost 1.8s on one
-    # task, by far the heaviest per-byte operator behind any fan-out.
-    return fan_out(q, min_bytes=4096).mapInArrow(kernel, schema=out_schema)
+    # a large well-partitioned records side is left untouched. The floor
+    # scales with the PER-RECORD work, which is O(|corpus| x dim) and known
+    # exactly here: at 20k x 64 (1.3M flops/record) a 55KB records side
+    # cost 1.8s on one task, so a big corpus gets the lowest floor in the
+    # repo (4KB ~ a dozen records); against a small corpus the repartition
+    # round-trip outweighs the compute (measured +0.3s at 2k x 64) and the
+    # default floor stays.
+    heavy = n_corpus * max(dim, 1) >= 500_000
+    return fan_out(
+        q,
+        min_bytes=4096 if heavy else 1 << 20,
+        per_task_bytes=4096 if heavy else 1 << 20,
+    ).mapInArrow(kernel, schema=out_schema)
 
 
 def sem_topk(
