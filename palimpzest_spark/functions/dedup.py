@@ -865,8 +865,9 @@ def minhash_lsh_pairs(
     agreement (estimated Jaccard = fraction of matching minhashes ≥ threshold).
 
     Plan shape (the 100 TB shape): signatures (1 narrow row/doc) → explode to
-    ``bands`` rows/doc → groupBy band-hash bucket → self-join within buckets
-    → distinct pairs → verify. Shuffles carry ids + 8B hashes, never text.
+    ``bands`` rows/doc → groupBy band-hash bucket (one shuffle of ids +
+    8B hashes, map-side combined) → in-row pair expansion per bucket →
+    distinct pairs → verify. Text never shuffles.
     """
     rows = num_perm // bands
     if rows == 0:
@@ -908,16 +909,30 @@ def minhash_lsh_pairs(
         .select("id", "band", bucket.alias("bucket"))
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Candidate pairs via ONE grouped aggregation instead of the r5 bucket
+    # self-join (r6b): the join shuffled the banded rows TWICE (both sides
+    # of the equi-join) and sorted each; the groupBy ships them once
+    # (map-side combinable collect_list) and each member pairs with its
+    # tail in-row. sort_array makes id_a < id_b by construction (ids are unique
+    # within a (band, bucket): one banded row per id per band). Skew bound:
+    # a bucket of k ids emits k rows carrying O(k) arrays each — per-ROW
+    # memory is O(bucket), never O(bucket^2) (the giant-duplicate-group
+    # case degrades exactly like the join's k^2 output rows, without a
+    # single holder row). Candidate set identical by construction; pinned
+    # by the tier-agreement and oracle-twin tests.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select("_ids", F.posexplode("_ids").alias("_pos", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("_ids", F.col("_pos") + 2, F.size("_ids"))
+            ).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 
