@@ -7,13 +7,16 @@ Five strategies, each chosen for a different scale/fidelity point:
 - **n-gram Jaccard**: exact set-similarity on word shingles, JVM-side
                      (``array_intersect``/``array_union``) over candidate
                      pairs. Quadratic — use behind a blocking stage.
-- **MinHash + LSH** : shingles → 64-perm minhash signature (pure JVM codegen
-                     by default: one xxhash64 per gram + 64 long-rehashes;
-                     numpy-in-``mapInPandas`` tiers kept for the universal
-                     hash family and the DuckDB md5 oracle) → band buckets →
-                     candidates only from shared buckets (standard banding:
-                     b bands of r rows, P(candidate) = 1-(1-s^r)^b). The
-                     100 TB path: shuffle volume is O(#docs * #bands).
+- **MinHash + LSH** : shingles → 64-perm minhash signature (default tier:
+                     ONE fused Arrow kernel — byte-level tokenize + a
+                     bit-exact xxhash64 twin + the permutation rehash, all
+                     vectorized numpy; ``mapInPandas`` tiers kept for the
+                     universal hash family and the DuckDB md5 oracle) →
+                     band buckets → candidates only from shared buckets
+                     (standard banding: b bands of r rows, P(candidate) =
+                     1-(1-s^r)^b), expanded per bucket from one grouped
+                     aggregation. The 100 TB path: shuffle volume is
+                     O(#docs * #bands) of 8-byte hashes.
 - **SimHash**      : 64-bit fingerprint, near-dups = hamming ≤ k, banded on
                      16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ one of 4
                      chunks equal).
